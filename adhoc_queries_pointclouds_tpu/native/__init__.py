@@ -1,0 +1,135 @@
+"""ctypes bindings for the native host codecs (aqpc_native.cpp).
+
+Builds the shared library on first import with g++ (no pybind11 in this
+image — plain C ABI + ctypes, which also releases the GIL during calls so a
+Python thread pool gets real multicore decode).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "aqpc_native.cpp"
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build_if_needed() -> Path:
+    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so_path = _HERE / f"_aqpc_native_{src_hash}.so"
+    if so_path.exists():
+        return so_path
+    # clean stale builds
+    for old in _HERE.glob("_aqpc_native_*.so"):
+        try:
+            old.unlink()
+        except OSError:
+            pass
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        "-o",
+        str(so_path),
+        str(_SRC),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return so_path
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if os.environ.get("AQPC_DISABLE_NATIVE"):
+            return None
+        try:
+            lib = ctypes.CDLL(str(_build_if_needed()))
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        lib.aqpc_xxh32.restype = ctypes.c_uint32
+        lib.aqpc_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.aqpc_lz4_block_decompress.restype = ctypes.c_int64
+        lib.aqpc_lz4_block_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+        lib.aqpc_lz4_block_compress.restype = ctypes.c_int64
+        lib.aqpc_lz4_block_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+        lib.aqpc_lz4_compress_bound.restype = ctypes.c_size_t
+        lib.aqpc_lz4_compress_bound.argtypes = [ctypes.c_size_t]
+        lib.aqpc_lz4_frame_decompress.restype = ctypes.c_int64
+        lib.aqpc_lz4_frame_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.aqpc_lz4_frame_compress.restype = ctypes.c_int64
+        lib.aqpc_lz4_frame_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+        lib.aqpc_lz4_frames_decompress.restype = ctypes.c_int64
+        lib.aqpc_lz4_frames_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _as_buf(data) -> tuple[ctypes.c_void_p, int]:
+    arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    return arr.ctypes.data_as(ctypes.c_void_p) if arr.flags["C_CONTIGUOUS"] else np.ascontiguousarray(arr).ctypes.data_as(ctypes.c_void_p), arr.nbytes
+
+
+def lz4_frame_compress(data: bytes | np.ndarray) -> bytes:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(memoryview(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data).view(np.uint8).ravel()
+    cap = int(lib.aqpc_lz4_compress_bound(src.nbytes)) + 64
+    dst = np.empty(cap, dtype=np.uint8)
+    n = lib.aqpc_lz4_frame_compress(
+        src.ctypes.data_as(ctypes.c_void_p), src.nbytes,
+        dst.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        raise RuntimeError("lz4 frame compression failed")
+    return dst[:n].tobytes()
+
+
+def lz4_frame_decompress(data: bytes | memoryview | np.ndarray, dst_cap: int) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(memoryview(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    dst = np.empty(dst_cap, dtype=np.uint8)
+    consumed = ctypes.c_size_t(0)
+    n = lib.aqpc_lz4_frame_decompress(
+        src.ctypes.data_as(ctypes.c_void_p), src.nbytes,
+        dst.ctypes.data_as(ctypes.c_void_p), dst_cap, ctypes.byref(consumed))
+    if n < 0:
+        raise RuntimeError(f"lz4 frame decompression failed (code {n})")
+    return dst[:n]
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    lib = load()
+    if lib is None:
+        from ..formats.lz4py import xxh32 as py_xxh32
+
+        return py_xxh32(data, seed)
+    return int(lib.aqpc_xxh32(data, len(data), seed))

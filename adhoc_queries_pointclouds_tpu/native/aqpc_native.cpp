@@ -1,0 +1,385 @@
+// aqpc_native — host-side native codecs for the TPU point-cloud query engine.
+//
+// Implements the LZ4 block and frame formats from the public format specs
+// (https://github.com/lz4/lz4/blob/dev/doc): the LAZER container stores one
+// LZ4 *frame* per attribute per block (reference readers/src/lazer_reader.rs:
+// 143-151 uses the Rust `lz4` crate's frame Decoder). Decode is the hot path
+// that feeds the TPU pipeline; a real compressor is included so fixtures and
+// the LAS->LAZER converter produce genuinely compressed files.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+// ctypes calls release the GIL, so Python-level thread pools get true
+// multicore decode parallelism.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// xxHash32 (needed for LZ4 frame header checksums)
+// ---------------------------------------------------------------------------
+
+static const uint32_t PRIME1 = 2654435761U;
+static const uint32_t PRIME2 = 2246822519U;
+static const uint32_t PRIME3 = 3266489917U;
+static const uint32_t PRIME4 = 668265263U;
+static const uint32_t PRIME5 = 374761393U;
+
+static inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+static inline uint32_t read_u32le(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/ARM TPU-VMs)
+}
+
+static inline uint16_t read_u16le(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
+uint32_t aqpc_xxh32(const uint8_t* input, size_t len, uint32_t seed) {
+  const uint8_t* p = input;
+  const uint8_t* end = input + len;
+  uint32_t h;
+  if (len >= 16) {
+    uint32_t v1 = seed + PRIME1 + PRIME2;
+    uint32_t v2 = seed + PRIME2;
+    uint32_t v3 = seed;
+    uint32_t v4 = seed - PRIME1;
+    const uint8_t* limit = end - 16;
+    do {
+      v1 = rotl32(v1 + read_u32le(p) * PRIME2, 13) * PRIME1; p += 4;
+      v2 = rotl32(v2 + read_u32le(p) * PRIME2, 13) * PRIME1; p += 4;
+      v3 = rotl32(v3 + read_u32le(p) * PRIME2, 13) * PRIME1; p += 4;
+      v4 = rotl32(v4 + read_u32le(p) * PRIME2, 13) * PRIME1; p += 4;
+    } while (p <= limit);
+    h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+  } else {
+    h = seed + PRIME5;
+  }
+  h += (uint32_t)len;
+  while (p + 4 <= end) {
+    h = rotl32(h + read_u32le(p) * PRIME3, 17) * PRIME4;
+    p += 4;
+  }
+  while (p < end) {
+    h = rotl32(h + (*p) * PRIME5, 11) * PRIME1;
+    p++;
+  }
+  h ^= h >> 15; h *= PRIME2;
+  h ^= h >> 13; h *= PRIME3;
+  h ^= h >> 16;
+  return h;
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block format
+// ---------------------------------------------------------------------------
+
+// Decompress one raw LZ4 block. Returns bytes written to dst, or -1 on
+// malformed input / overflow.
+int64_t aqpc_lz4_block_decompress(const uint8_t* src, size_t src_len,
+                                  uint8_t* dst, size_t dst_cap) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+
+  while (ip < iend) {
+    uint8_t token = *ip++;
+    // literals
+    size_t lit_len = token >> 4;
+    if (lit_len == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit_len += b;
+      } while (b == 255);
+    }
+    if ((size_t)(iend - ip) < lit_len || (size_t)(oend - op) < lit_len) return -1;
+    std::memcpy(op, ip, lit_len);
+    ip += lit_len;
+    op += lit_len;
+    if (ip >= iend) break;  // last sequence has no match part
+
+    // match
+    if (iend - ip < 2) return -1;
+    size_t offset = read_u16le(ip);
+    ip += 2;
+    if (offset == 0 || offset > (size_t)(op - dst)) return -1;
+    size_t match_len = token & 15;
+    if (match_len == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        match_len += b;
+      } while (b == 255);
+    }
+    match_len += 4;
+    if ((size_t)(oend - op) < match_len) return -1;
+    const uint8_t* match = op - offset;
+    if (offset >= match_len && offset >= 8) {
+      std::memcpy(op, match, match_len);
+      op += match_len;
+    } else {
+      // overlapping copy must be byte-wise
+      for (size_t i = 0; i < match_len; i++) op[i] = match[i];
+      op += match_len;
+    }
+  }
+  return (int64_t)(op - dst);
+}
+
+// Worst-case compressed size for n input bytes.
+size_t aqpc_lz4_compress_bound(size_t n) { return n + n / 255 + 16; }
+
+// Greedy single-pass LZ4 block compressor with a 4-byte hash table.
+// Returns compressed size, or -1 if dst is too small.
+int64_t aqpc_lz4_block_compress(const uint8_t* src, size_t src_len,
+                                uint8_t* dst, size_t dst_cap) {
+  const size_t HASH_LOG = 16;
+  const size_t HASH_SIZE = 1 << HASH_LOG;
+  const size_t MFLIMIT = 12;    // last 12 bytes must be literals (spec)
+  const size_t MINMATCH = 4;
+  const size_t MAX_OFFSET = 65535;
+
+  uint32_t table[HASH_SIZE];
+  std::memset(table, 0xFF, sizeof(table));  // 0xFFFFFFFF = empty
+
+  const uint8_t* ip = src;
+  const uint8_t* anchor = src;
+  const uint8_t* iend = src + src_len;
+  const uint8_t* mflimit = (src_len > MFLIMIT) ? iend - MFLIMIT : src;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+
+  auto hash = [](uint32_t v) -> uint32_t {
+    return (v * 2654435761U) >> (32 - HASH_LOG);
+  };
+  auto write_length = [&](size_t len) -> bool {
+    while (len >= 255) {
+      if (op >= oend) return false;
+      *op++ = 255;
+      len -= 255;
+    }
+    if (op >= oend) return false;
+    *op++ = (uint8_t)len;
+    return true;
+  };
+
+  if (src_len > MFLIMIT) {
+    while (ip < mflimit) {
+      uint32_t seq = read_u32le(ip);
+      uint32_t h = hash(seq);
+      uint32_t cand = table[h];
+      table[h] = (uint32_t)(ip - src);
+      if (cand != 0xFFFFFFFFu && (size_t)(ip - src) - cand <= MAX_OFFSET &&
+          read_u32le(src + cand) == seq) {
+        const uint8_t* match = src + cand;
+        // extend match forward
+        const uint8_t* mp = match + MINMATCH;
+        const uint8_t* cp = ip + MINMATCH;
+        const uint8_t* climit = iend - 5;  // keep last 5 bytes literal-only
+        while (cp < climit && *cp == *mp) { cp++; mp++; }
+        size_t match_len = (size_t)(cp - ip) - MINMATCH;
+        size_t lit_len = (size_t)(ip - anchor);
+
+        // token
+        if (op >= oend) return -1;
+        uint8_t* token = op++;
+        *token = 0;
+        if (lit_len >= 15) {
+          *token = 15 << 4;
+          if (!write_length(lit_len - 15)) return -1;
+        } else {
+          *token = (uint8_t)(lit_len << 4);
+        }
+        if ((size_t)(oend - op) < lit_len + 2) return -1;
+        std::memcpy(op, anchor, lit_len);
+        op += lit_len;
+        uint16_t off = (uint16_t)(ip - match);
+        std::memcpy(op, &off, 2);
+        op += 2;
+        if (match_len >= 15) {
+          *token |= 15;
+          if (!write_length(match_len - 15)) return -1;
+        } else {
+          *token |= (uint8_t)match_len;
+        }
+        ip = cp;
+        anchor = ip;
+        // refresh hash at ip-2 for denser matching
+        if (ip < mflimit) {
+          table[hash(read_u32le(ip - 2))] = (uint32_t)(ip - 2 - src);
+        }
+      } else {
+        ip++;
+      }
+    }
+  }
+
+  // trailing literals
+  size_t lit_len = (size_t)(iend - anchor);
+  if (op >= oend) return -1;
+  uint8_t* token = op++;
+  if (lit_len >= 15) {
+    *token = 15 << 4;
+    if (!write_length(lit_len - 15)) return -1;
+  } else {
+    *token = (uint8_t)(lit_len << 4);
+  }
+  if ((size_t)(oend - op) < lit_len) return -1;
+  std::memcpy(op, anchor, lit_len);
+  op += lit_len;
+  return (int64_t)(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 frame format
+// ---------------------------------------------------------------------------
+
+static const uint32_t LZ4F_MAGIC = 0x184D2204U;
+
+// Decode a whole LZ4 frame starting at src. Writes decompressed payload to
+// dst. Returns bytes written; stores bytes consumed from src in *consumed.
+// Returns -1 on malformed input, -2 if dst_cap is too small.
+int64_t aqpc_lz4_frame_decompress(const uint8_t* src, size_t src_len,
+                                  uint8_t* dst, size_t dst_cap,
+                                  size_t* consumed) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + src_len;
+  if (src_len < 7 || read_u32le(ip) != LZ4F_MAGIC) return -1;
+  ip += 4;
+  uint8_t flg = *ip++;
+  ip++;  // BD byte (block max size) — we size from caller's dst_cap
+  int version = (flg >> 6) & 3;
+  if (version != 1) return -1;
+  bool block_checksum = (flg >> 4) & 1;
+  bool content_size = (flg >> 3) & 1;
+  bool content_checksum = (flg >> 2) & 1;
+  bool dict_id = flg & 1;
+  if (content_size) {
+    if (iend - ip < 8) return -1;
+    ip += 8;
+  }
+  if (dict_id) {
+    if (iend - ip < 4) return -1;
+    ip += 4;
+  }
+  if (ip >= iend) return -1;
+  ip++;  // header checksum byte (not verified on decode)
+
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+  while (true) {
+    if (iend - ip < 4) return -1;
+    uint32_t bsize = read_u32le(ip);
+    ip += 4;
+    if (bsize == 0) break;  // EndMark
+    bool uncompressed = (bsize >> 31) != 0;
+    bsize &= 0x7FFFFFFFu;
+    if ((size_t)(iend - ip) < bsize) return -1;
+    if (uncompressed) {
+      if ((size_t)(oend - op) < bsize) return -2;
+      std::memcpy(op, ip, bsize);
+      op += bsize;
+    } else {
+      int64_t n = aqpc_lz4_block_decompress(ip, bsize, op, (size_t)(oend - op));
+      if (n < 0) return (n == -1 && (size_t)(oend - op) < (size_t)4 * bsize) ? -2 : -1;
+      op += n;
+    }
+    ip += bsize;
+    if (block_checksum) {
+      if (iend - ip < 4) return -1;
+      ip += 4;
+    }
+  }
+  if (content_checksum) {
+    if (iend - ip < 4) return -1;
+    ip += 4;
+  }
+  if (consumed) *consumed = (size_t)(ip - src);
+  return (int64_t)(op - dst);
+}
+
+// Compress src into a standalone LZ4 frame (block-independent, 4 MiB max
+// block size, content size recorded). Returns frame size or -1 on overflow.
+int64_t aqpc_lz4_frame_compress(const uint8_t* src, size_t src_len,
+                                uint8_t* dst, size_t dst_cap) {
+  const size_t BLOCK = 4 * 1024 * 1024;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+  if ((size_t)(oend - op) < 15) return -1;
+  uint32_t magic = LZ4F_MAGIC;
+  std::memcpy(op, &magic, 4);
+  op += 4;
+  uint8_t* desc = op;
+  uint8_t flg = (1 << 6) | (1 << 5) | (1 << 3);  // v1, block-independent, content size
+  uint8_t bd = 7 << 4;                            // 4 MiB max block size
+  *op++ = flg;
+  *op++ = bd;
+  uint64_t cs = src_len;
+  std::memcpy(op, &cs, 8);
+  op += 8;
+  *op++ = (uint8_t)(aqpc_xxh32(desc, (size_t)(op - desc), 0) >> 8);
+
+  size_t pos = 0;
+  while (pos < src_len) {
+    size_t chunk = src_len - pos < BLOCK ? src_len - pos : BLOCK;
+    if ((size_t)(oend - op) < 4) return -1;
+    uint8_t* size_slot = op;
+    op += 4;
+    int64_t csize = aqpc_lz4_block_compress(src + pos, chunk, op,
+                                            (size_t)(oend - op));
+    if (csize < 0 || (size_t)csize >= chunk) {
+      // incompressible: store raw
+      if ((size_t)(oend - op) < chunk) return -1;
+      std::memcpy(op, src + pos, chunk);
+      uint32_t stored = (uint32_t)chunk | 0x80000000u;
+      std::memcpy(size_slot, &stored, 4);
+      op += chunk;
+    } else {
+      uint32_t stored = (uint32_t)csize;
+      std::memcpy(size_slot, &stored, 4);
+      op += csize;
+    }
+    pos += chunk;
+  }
+  if ((size_t)(oend - op) < 4) return -1;
+  std::memset(op, 0, 4);  // EndMark
+  op += 4;
+  return (int64_t)(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// Batched helpers for the LAZER pipeline: decompress many independent frames
+// (one per attribute-blob) in one call. Offsets/capacities are caller-provided
+// arrays; returns 0 on success, index+1 of the first failing frame otherwise.
+// ---------------------------------------------------------------------------
+
+int64_t aqpc_lz4_frames_decompress(const uint8_t* src,
+                                   const uint64_t* frame_offsets,
+                                   const uint64_t* frame_sizes,
+                                   int64_t n_frames,
+                                   uint8_t* dst,
+                                   const uint64_t* dst_offsets,
+                                   const uint64_t* dst_caps,
+                                   int64_t* out_sizes) {
+  for (int64_t i = 0; i < n_frames; i++) {
+    size_t consumed = 0;
+    int64_t n = aqpc_lz4_frame_decompress(src + frame_offsets[i], frame_sizes[i],
+                                          dst + dst_offsets[i], dst_caps[i],
+                                          &consumed);
+    if (n < 0) return i + 1;
+    out_sizes[i] = n;
+  }
+  return 0;
+}
+
+}  // extern "C"
