@@ -1,0 +1,161 @@
+"""Command-line surface — replicates the reference `query` CLI
+(query/src/main.rs:194-220) and adds `convert` / `count-points` subcommands
+(capabilities the reference outsources to sibling projects).
+
+Flag parity with the reference binary:
+  -i/--input    file or directory (non-recursive) of las/laz/last/lazer
+  --bounds      "minx;miny;minz;maxx;maxy;maxz" world-space closed box
+  --class       u8 classification value (mutually exclusive with --bounds)
+  --density     max density: <= 1 point per X^3 m^3 grid-center sampling
+  -o/--output   output directory -> matching points written as LAS
+  --parallel    accepted for parity; the engine always data-parallelizes
+                across the device mesh (rayon's role is played by the mesh)
+  --optimized   accepted for parity; there is only one engine path and it is
+                the optimized one (integer-domain predicates on device)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from .engine import run_query
+from .models.query import BoundsQuery, ClassQuery, DensityConfig, QueryPlan
+from .utils.aabb import parse_aabb
+from .utils.timing import throughput_line
+
+
+def build_query_parser(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("-i", "--input", required=True, help="Input point cloud file or directory")
+    parser.add_argument("--bounds", help='Bounding box "minX;minY;minZ;maxX;maxY;maxZ"')
+    parser.add_argument("--class", dest="classification", type=int, help="LAS object class (u8)")
+    parser.add_argument("-o", "--output", help="Output directory for matching points (LAS)")
+    parser.add_argument("--density", type=float, help="Maximum density: one point per X^3 m^3")
+    parser.add_argument(
+        "--density-scope",
+        choices=["file", "global"],
+        default="global",
+        help="Dedupe grid per input file (reference --parallel semantics) or globally",
+    )
+    parser.add_argument("--parallel", action="store_true", help="(parity no-op: always parallel)")
+    parser.add_argument("--optimized", action="store_true", help="(parity no-op: always optimized)")
+    parser.add_argument("--parity-quirk", action="store_true",
+                        help="Replicate the reference's exact world->local bounds conversion")
+    parser.add_argument("--block-size", type=int, default=None, help="Points per device block")
+    parser.add_argument("--impl", choices=["auto", "pallas", "jnp"], default="auto")
+    parser.add_argument("--devices", type=int, default=None, help="Limit device count")
+    parser.add_argument("--workers", type=int, default=8, help="Host decode threads")
+    parser.add_argument("--stats", action="store_true", help="Print per-stage timings")
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    maybe_bounds = parse_aabb(args.bounds) if args.bounds else None
+    maybe_class = args.classification
+    if maybe_bounds is not None and maybe_class is not None:
+        print(
+            "Specifying BOUNDS and CLASS at the same time is invalid! "
+            "Specify either BOUNDS or CLASS argument!",
+            file=sys.stderr,
+        )
+        return 1
+    if maybe_bounds is None and maybe_class is None:
+        print(
+            "Found neither BOUNDS nor CLASS argument but exactly one of these "
+            "arguments is required!",
+            file=sys.stderr,
+        )
+        return 1
+
+    plan = QueryPlan(
+        bounds=BoundsQuery(maybe_bounds) if maybe_bounds is not None else None,
+        classification=ClassQuery(maybe_class) if maybe_class is not None else None,
+        density=DensityConfig(args.density, args.density_scope) if args.density else None,
+        output_dir=Path(args.output) if args.output else None,
+        parity_quirk=args.parity_quirk,
+    )
+    kwargs = {}
+    if args.block_size:
+        kwargs["block_size"] = args.block_size
+    result = run_query(
+        args.input,
+        plan,
+        impl=args.impl,
+        n_devices=args.devices,
+        workers=args.workers,
+        **kwargs,
+    )
+    print(f"Searching {result.files_searched} files...")
+    if plan.output_dir is not None:
+        for f in result.output_files:
+            print(f"Wrote {f}")
+    print(f"Found {result.match_count} matching points")
+    if args.stats:
+        print(result.timer.report())
+    print(throughput_line(result.total_file_bytes, result.elapsed_seconds))
+    return 0
+
+
+def cmd_convert(args: argparse.Namespace) -> int:
+    from .formats import las_to_last, las_to_lazer
+
+    src = Path(args.input)
+    dst = Path(args.output)
+    fmt = dst.suffix.lower().lstrip(".")
+    if fmt == "last":
+        las_to_last(src, dst)
+    elif fmt == "lazer":
+        las_to_lazer(src, dst, block_size=args.lazer_block_size)
+    else:
+        print(f"Unsupported conversion target .{fmt}", file=sys.stderr)
+        return 1
+    print(f"Converted {src} -> {dst}")
+    return 0
+
+
+def cmd_count_points(args: argparse.Namespace) -> int:
+    """Header-only dataset point count (bin/count_points.rs:66-79)."""
+    from .engine import discover_files
+    from .formats import open_point_cloud
+    from .formats.las import parse_las_header
+
+    total = 0
+    for f in discover_files(args.input):
+        header = parse_las_header(open(f, "rb").read(512))
+        total += header.point_count
+    print(f"Total number of points: {total}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # Bare reference-style invocation: `query -i ... --bounds ...`
+    if argv and argv[0] not in ("query", "convert", "count-points", "-h", "--help"):
+        argv = ["query"] + argv
+
+    parser = argparse.ArgumentParser(
+        prog="aqpc",
+        description="TPU-native ad-hoc point cloud queries (LAS/LAZ/LAST/LAZER)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    qp = sub.add_parser("query", help="Run a bbox/class/density query")
+    build_query_parser(qp)
+    qp.set_defaults(fn=cmd_query)
+
+    cp = sub.add_parser("convert", help="Convert LAS to LAST/LAZER")
+    cp.add_argument("-i", "--input", required=True)
+    cp.add_argument("-o", "--output", required=True)
+    cp.add_argument("--lazer-block-size", type=int, default=50_000)
+    cp.set_defaults(fn=cmd_convert)
+
+    np_ = sub.add_parser("count-points", help="Header-only total point count")
+    np_.add_argument("-i", "--input", required=True)
+    np_.set_defaults(fn=cmd_count_points)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,456 @@
+"""Query engine orchestration — the reference's main.rs driver, TPU-native.
+
+Execution model:
+
+  count queries   host decode-ahead feeder -> D blocks/step -> shard_map
+                  fused predicate scan per chip -> psum over ICI -> lazy
+                  accumulation (one device sync at the very end)
+  collect queries two-pass per block: fused count, then pow2-bucketed index
+                  compaction; attributes of hits are gathered lazily from
+                  the source file (only hit rows are ever decoded)
+  density queries predicate mask -> per-block device segment-min (sort by
+                  cell key) -> sparse host merge; per-file or global scope
+
+File discovery, the bounds/class mutual exclusion, density's fallback to
+dataset total bounds, and the closing MiB/s report all mirror the reference
+CLI semantics (main.rs:29-57, 238-244, 253-259, 309-316).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Persistent XLA compilation cache: repeated CLI invocations skip recompiles
+# (first compile over the tunneled TPU costs seconds to minutes).
+if not os.environ.get("AQPC_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "AQPC_COMPILE_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "aqpc_jax")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+from .formats import is_valid_file, open_point_cloud, write_las
+from .models.query import QueryPlan
+from .ops import compact, density as density_ops, predicate
+from .parallel import mesh as mesh_mod
+from .parallel.pipeline import BlockFeeder, make_block_tasks
+from .utils.aabb import AABB, clamp_bounds_to_i32, local_query_bounds
+from .utils.timing import StageTimer
+
+DEFAULT_BLOCK_SIZE = 1 << 21  # 2M points: 24 MiB of xyz per block
+HIT_ATTRS = ("position", "classification", "color", "intensity")
+
+# Max device steps in flight. >1 overlaps H2D transfer of the next batch
+# with the current scan — the right setting on a real TPU-VM (PCIe-attached
+# chips). The tunneled axon TPU backend in this environment intermittently
+# wedges its transfer queue for minutes when executions with fresh host
+# inputs are queued behind one another, so the safe default here is fully
+# synchronous stepping; raise AQPC_INFLIGHT on real hardware.
+MAX_INFLIGHT_STEPS = int(os.environ.get("AQPC_INFLIGHT", "1"))
+
+
+def discover_files(input_path: str | Path) -> list[Path]:
+    """File or flat directory listing with extension filter (main.rs:29-57)."""
+    p = Path(input_path)
+    if not p.exists():
+        raise FileNotFoundError(f"Input path {p} does not exist!")
+    if p.is_file():
+        files = [p]
+    elif p.is_dir():
+        files = sorted(c for c in p.iterdir() if c.is_file())
+    else:
+        raise ValueError(f"Input path {p} is neither file nor directory!")
+    return [f for f in files if is_valid_file(f)]
+
+
+def get_total_bounds(readers) -> AABB:
+    """Union of per-file header bounds (main.rs:94-120)."""
+    total = AABB.empty()
+    for r in readers:
+        total = total.union(r.header.bounds)
+    return total
+
+
+@dataclasses.dataclass
+class FileHits:
+    """Materialized matching points of one input file."""
+
+    file_idx: int
+    position_world: np.ndarray  # (n, 3) f64
+    classification: np.ndarray  # (n,) u8
+    color: np.ndarray  # (n, 3) u16
+    intensity: np.ndarray  # (n,) u16
+
+    @property
+    def count(self) -> int:
+        return len(self.position_world)
+
+
+@dataclasses.dataclass
+class QueryResult:
+    match_count: int
+    hits: list[FileHits]
+    output_files: list[Path]
+    total_file_bytes: int
+    elapsed_seconds: float
+    timer: StageTimer
+    files_searched: int
+
+    @property
+    def throughput_mibs(self) -> float:
+        return self.total_file_bytes / 1048576.0 / max(self.elapsed_seconds, 1e-12)
+
+
+def _gather_hits(reader, indices: np.ndarray, file_idx: int) -> FileHits:
+    attrs = reader.take(indices, HIT_ATTRS)
+    pos_world = attrs["position"].astype(np.float64) * np.asarray(
+        reader.header.scale
+    ) + np.asarray(reader.header.offset)
+    return FileHits(
+        file_idx=file_idx,
+        position_world=pos_world,
+        classification=np.asarray(attrs["classification"], np.uint8),
+        color=np.asarray(attrs["color"], np.uint16).reshape(-1, 3),
+        intensity=np.asarray(attrs["intensity"], np.uint16),
+    )
+
+
+def _empty_hits(file_idx: int) -> FileHits:
+    return FileHits(
+        file_idx,
+        np.empty((0, 3), np.float64),
+        np.empty(0, np.uint8),
+        np.empty((0, 3), np.uint16),
+        np.empty(0, np.uint16),
+    )
+
+
+class _Dumper:
+    """LAS write-back of collected points (dump_points.rs FileDumper)."""
+
+    def __init__(self, output_dir: Path | None):
+        self.output_dir = output_dir
+        self.files: list[Path] = []
+        if output_dir is not None:
+            output_dir = Path(output_dir)
+            if not output_dir.exists():
+                raise FileNotFoundError(f"Path {output_dir} does not exist!")
+            if not output_dir.is_dir():
+                raise NotADirectoryError(f"Path {output_dir} is no directory!")
+
+    def dump(self, hits: FileHits) -> None:
+        if self.output_dir is None or hits.count == 0:
+            return
+        path = Path(self.output_dir) / f"matching_points_{len(self.files)}.las"
+        write_las(
+            path,
+            hits.position_world,
+            classification=hits.classification,
+            color=hits.color,
+            intensity=hits.intensity,
+            point_format=2,
+        )
+        self.files.append(path)
+
+
+def run_query(
+    input_path: str | Path,
+    plan: QueryPlan,
+    *,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    impl: str = "auto",
+    n_devices: int | None = None,
+    workers: int = 8,
+    prefetch: int = 12,
+    keep_hits: bool = False,
+) -> QueryResult:
+    timer = StageTimer()
+    files = discover_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"No supported point-cloud files under {input_path}")
+    total_bytes = sum(f.stat().st_size for f in files)
+
+    with timer.stage("open"):
+        readers = [open_point_cloud(f) for f in files]
+
+    is_bounds = plan.bounds is not None
+    query_bounds = plan.bounds.bounds if is_bounds else None
+
+    # Per-file integer-domain bounds + header prefilter (las.rs:82-99).
+    file_bounds: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    active = []
+    for i, r in enumerate(readers):
+        if is_bounds:
+            if not r.header.bounds.intersects(query_bounds):
+                continue
+            lo64, hi64 = local_query_bounds(
+                query_bounds,
+                r.header.scale,
+                r.header.offset,
+                parity_quirk=plan.parity_quirk,
+            )
+            lo, hi = clamp_bounds_to_i32(lo64, hi64)
+            file_bounds[i] = (lo, hi)
+        active.append(i)
+
+    if plan.density is not None:
+        if is_bounds:
+            grid_bounds = query_bounds
+        else:
+            grid_bounds = get_total_bounds(readers)
+        grid = density_ops.GridSpec3D.create(grid_bounds, plan.density.cell_size)
+    else:
+        grid = None
+
+    if plan.collects_points:
+        result = _run_collect(
+            plan, files, readers, active, file_bounds, grid,
+            block_size=block_size, workers=workers, prefetch=prefetch,
+            timer=timer, keep_hits=keep_hits,
+        )
+    else:
+        result = _run_count(
+            plan, readers, active, file_bounds,
+            block_size=block_size, impl=impl, n_devices=n_devices,
+            workers=workers, prefetch=prefetch, timer=timer,
+        )
+
+    for r in readers:
+        r.close()
+    match_count, hits, output_files = result
+    return QueryResult(
+        match_count=match_count,
+        hits=hits,
+        output_files=output_files,
+        total_file_bytes=total_bytes,
+        elapsed_seconds=timer.elapsed(),
+        timer=timer,
+        files_searched=len(files),
+    )
+
+
+# ---------------------------------------------------------------------------
+# count path
+# ---------------------------------------------------------------------------
+
+
+def _run_count(
+    plan, readers, active, file_bounds, *, block_size, impl, n_devices,
+    workers, prefetch, timer,
+):
+    is_bounds = plan.bounds is not None
+    mesh = mesh_mod.make_mesh(n_devices)
+    d = mesh.devices.size
+
+    tasks = []
+    for i in active:
+        n = readers[i].point_count
+        for b in range((n + block_size - 1) // block_size):
+            start = b * block_size
+            tasks.append((i, b, start, min(start + block_size, n)))
+
+    if is_bounds:
+        def load(file_idx, start, stop):
+            pos = readers[file_idx].column("position", start, stop)
+            return {
+                "x": np.ascontiguousarray(pos[:, 0]),
+                "y": np.ascontiguousarray(pos[:, 1]),
+                "z": np.ascontiguousarray(pos[:, 2]),
+            }
+    else:
+        def load(file_idx, start, stop):
+            return {
+                "cls": np.ascontiguousarray(
+                    readers[file_idx].column("classification", start, stop)
+                )
+            }
+
+    feeder = BlockFeeder(
+        tasks, load, block_size,
+        file_bounds=file_bounds, workers=workers, prefetch=prefetch,
+    )
+
+    pending: list = []
+    total = 0
+    batch = []
+
+    def drain(limit: int):
+        nonlocal total
+        while len(pending) > limit:
+            total += int(pending.pop(0))
+
+    def flush(batch):
+        pad = d - len(batch)
+        if is_bounds:
+            xs = np.stack([t.columns["x"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
+            ys = np.stack([t.columns["y"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
+            zs = np.stack([t.columns["z"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
+            los = np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad)
+            his = np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad)
+            nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
+            pending.append(
+                mesh_mod.sharded_bbox_count(mesh, xs, ys, zs, los, his, nvs, impl=impl)
+            )
+        else:
+            cls_pad = np.zeros(block_size, np.uint8)
+            clss = np.stack([t.columns["cls"] for t in batch] + [cls_pad] * pad)
+            targets = np.full(d, plan.classification.classification, np.int32)
+            nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
+            pending.append(mesh_mod.sharded_class_count(mesh, clss, targets, nvs))
+        drain(MAX_INFLIGHT_STEPS - 1)
+
+    with timer.stage("scan"):
+        for task in feeder:
+            batch.append(task)
+            if len(batch) == d:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
+        drain(0)
+
+    return total, [], []
+
+
+# ---------------------------------------------------------------------------
+# collect path (output and/or density)
+# ---------------------------------------------------------------------------
+
+
+def _run_collect(
+    plan, files, readers, active, file_bounds, grid, *,
+    block_size, workers, prefetch, timer, keep_hits,
+):
+    is_bounds = plan.bounds is not None
+    dumper = _Dumper(plan.output_dir)
+    all_hits: list[FileHits] = []
+    total = 0
+
+    def predicate_mask_dev(task, cols_dev):
+        nv = jnp.asarray(task.n_valid, jnp.int32)
+        if is_bounds:
+            return predicate.bbox_mask(
+                cols_dev["x"], cols_dev["y"], cols_dev["z"],
+                jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
+            )
+        return predicate.class_mask(
+            cols_dev["cls"],
+            jnp.asarray(plan.classification.classification, jnp.int32),
+            nv,
+        )
+
+    density = plan.density
+    scope = density.scope if density else None
+
+    def load(file_idx, start, stop):
+        cols = {}
+        r = readers[file_idx]
+        if is_bounds or density is not None:
+            pos = r.column("position", start, stop)
+            cols["x"] = np.ascontiguousarray(pos[:, 0])
+            cols["y"] = np.ascontiguousarray(pos[:, 1])
+            cols["z"] = np.ascontiguousarray(pos[:, 2])
+        if not is_bounds:
+            cols["cls"] = np.ascontiguousarray(r.column("classification", start, stop))
+        return cols
+
+    global_state: np.ndarray | None = None
+
+    with timer.stage("scan"):
+        for file_idx in active:
+            r = readers[file_idx]
+            n = r.point_count
+            tasks = [
+                (file_idx, b, b * block_size, min((b + 1) * block_size, n))
+                for b in range((n + block_size - 1) // block_size)
+            ]
+            feeder = BlockFeeder(
+                tasks, load, block_size,
+                file_bounds=file_bounds, workers=workers, prefetch=prefetch,
+            )
+            file_state: np.ndarray | None = None
+            file_indices: list[np.ndarray] = []
+            params = grid.device_params(r.header.scale, r.header.offset) if grid else None
+
+            for task in feeder:
+                cols_dev = {k: jnp.asarray(v) for k, v in task.columns.items()}
+                mask = predicate_mask_dev(task, cols_dev)
+                if density is not None:
+                    winners = density_ops.block_grid_sample_masked(
+                        cols_dev["x"], cols_dev["y"], cols_dev["z"],
+                        mask, task.start, task.n_valid, params,
+                    )
+                    if scope == "file":
+                        file_state = density_ops.merge_winners_host(
+                            file_state, winners, file_idx
+                        )
+                    else:
+                        global_state = density_ops.merge_winners_host(
+                            global_state, winners, file_idx
+                        )
+                else:
+                    cnt = int(jnp.sum(mask))
+                    if cnt:
+                        cap = compact.pow2_bucket(cnt, block_size)
+                        idx, _ = compact.compact_indices(mask, cap=cap)
+                        local = np.asarray(idx[:cnt], np.int64)
+                        file_indices.append(local + task.start)
+
+            if density is None:
+                idxs = (
+                    np.concatenate(file_indices)
+                    if file_indices
+                    else np.empty(0, np.int64)
+                )
+                hits = _gather_hits(r, idxs, file_idx) if len(idxs) else _empty_hits(file_idx)
+                total += hits.count
+                dumper.dump(hits)
+                if keep_hits:
+                    all_hits.append(hits)
+            elif scope == "file":
+                hits = _winners_to_hits(file_state, r, file_idx)
+                total += hits.count
+                dumper.dump(hits)
+                if keep_hits:
+                    all_hits.append(hits)
+
+    if density is not None and scope == "global":
+        combined: list[FileHits] = []
+        if global_state is not None and len(global_state):
+            for file_idx in np.unique(global_state["file_idx"]):
+                sub = global_state[global_state["file_idx"] == file_idx]
+                combined.append(_winners_to_hits(sub, readers[file_idx], int(file_idx)))
+        merged = _concat_hits(combined)
+        total += merged.count
+        dumper.dump(merged)
+        if keep_hits:
+            all_hits.append(merged)
+
+    return total, all_hits, dumper.files
+
+
+def _winners_to_hits(state: np.ndarray | None, reader, file_idx: int) -> FileHits:
+    if state is None or len(state) == 0:
+        return _empty_hits(file_idx)
+    return _gather_hits(reader, np.sort(state["gidx"]), file_idx)
+
+
+def _concat_hits(parts: list[FileHits]) -> FileHits:
+    if not parts:
+        return _empty_hits(-1)
+    return FileHits(
+        file_idx=-1,
+        position_world=np.concatenate([p.position_world for p in parts]),
+        classification=np.concatenate([p.classification for p in parts]),
+        color=np.concatenate([p.color for p in parts]),
+        intensity=np.concatenate([p.intensity for p in parts]),
+    )

@@ -286,6 +286,32 @@ class LasFile:
         raw = self.column("position", start, stop).astype(np.float64)
         return raw * np.asarray(self.header.scale) + np.asarray(self.header.offset)
 
+    def take(self, indices: np.ndarray, attrs: tuple[str, ...]) -> dict[str, np.ndarray]:
+        """Random-access gather of attribute rows for hit indices.
+
+        The lazy-hit-fetch analog of the reference's optimized path, which
+        reads classification/color bytes only for points that passed the
+        bbox test (query/src/search/las.rs:121-135)."""
+        recs = self._records[indices]
+        out: dict[str, np.ndarray] = {}
+        for name in attrs:
+            if name == "position":
+                pos = np.empty((len(indices), 3), dtype=np.int32)
+                pos[:, 0] = recs["x"]
+                pos[:, 1] = recs["y"]
+                pos[:, 2] = recs["z"]
+                out[name] = pos
+            elif name == "color":
+                col = np.zeros((len(indices), 3), dtype=np.uint16)
+                if self.header.has_color:
+                    col[:, 0] = recs["red"]
+                    col[:, 1] = recs["green"]
+                    col[:, 2] = recs["blue"]
+                out[name] = col
+            else:
+                out[name] = np.ascontiguousarray(recs[name])
+        return out
+
     def close(self):
         self._records = None
         self._mm = None

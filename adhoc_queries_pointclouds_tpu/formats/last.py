@@ -113,6 +113,25 @@ class LastFile:
         raw = self.column("position", start, stop).astype(np.float64)
         return raw * np.asarray(self.header.scale) + np.asarray(self.header.offset)
 
+    def take(self, indices: np.ndarray, attrs: tuple[str, ...]) -> dict[str, np.ndarray]:
+        """Random-access gather: fancy-index zero-copy column views — the
+        columnar analog of last.rs:137-153 (random class/color byte reads)."""
+        n = self.point_count
+        out: dict[str, np.ndarray] = {}
+        for name in attrs:
+            if name == "color" and "color" not in self._layout:
+                out[name] = np.zeros((len(indices), 3), dtype=np.uint16)
+                continue
+            dtype, record_off, comps = self._layout[name]
+            block_start = self.header.offset_to_point_data + record_off * n
+            view = np.frombuffer(
+                self._mm, dtype=dtype, count=n * comps, offset=block_start
+            )
+            if comps > 1:
+                view = view.reshape(n, comps)
+            out[name] = view[indices]
+        return out
+
     def close(self):
         self._mm = None
 

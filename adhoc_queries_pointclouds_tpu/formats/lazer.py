@@ -113,6 +113,10 @@ class LazerFile:
         self._attrs = attribute_layout(h.point_format)
         self._attr_index = {name: i for i, (name, _, _) in enumerate(self._attrs)}
         self.num_attributes = len(self._attrs)
+        # Tiny decode cache: engine blocks don't align with LAZER blocks, so
+        # a boundary LAZER block would otherwise be decoded twice.
+        self._cache: dict[tuple[int, str], np.ndarray] = {}
+        self._cache_order: list[tuple[int, str]] = []
 
     @property
     def point_count(self) -> int:
@@ -135,12 +139,21 @@ class LazerFile:
         return offs
 
     def read_block(self, block_idx: int, attrs: tuple[str, ...]) -> dict[str, np.ndarray]:
-        """Decode the requested attribute columns of one block."""
+        """Decode the requested attribute columns of one block (small LRU)."""
         n = self.points_in_block(block_idx)
+        out: dict[str, np.ndarray] = {}
+        missing = []
+        for name in attrs:
+            key = (block_idx, name)
+            if key in self._cache:
+                out[name] = self._cache[key]
+            else:
+                missing.append(name)
+        if not missing:
+            return out
         offs = self._blob_table(block_idx)
         block_end = int(self.block_ends[block_idx])
-        out: dict[str, np.ndarray] = {}
-        for name in attrs:
+        for name in missing:
             idx = self._attr_index[name]
             dtype, comps = self._attrs[idx][1], self._attrs[idx][2]
             blob_start = int(offs[idx])
@@ -156,7 +169,47 @@ class LazerFile:
             if comps > 1:
                 arr = arr.reshape(n, comps)
             out[name] = arr
+            key = (block_idx, name)
+            self._cache[key] = arr
+            self._cache_order.append(key)
+            while len(self._cache_order) > 8:
+                old = self._cache_order.pop(0)
+                self._cache.pop(old, None)
         return out
+
+    def take(self, indices: np.ndarray, attrs: tuple[str, ...]) -> dict[str, np.ndarray]:
+        """Gather hit rows: decodes only the LAZER blocks that contain hits,
+        only for the requested attributes (compressed-format analog of the
+        reference's hit-only reads)."""
+        indices = np.asarray(indices, dtype=np.int64)
+        if "color" in attrs and "color" not in self._attr_index:
+            attrs = tuple(a for a in attrs if a != "color")
+            zero_color = True
+        else:
+            zero_color = False
+        parts: dict[str, list[np.ndarray]] = {a: [] for a in attrs}
+        order = np.argsort(indices, kind="stable")
+        sorted_idx = indices[order]
+        blocks = sorted_idx // self.block_size
+        result_chunks: dict[str, np.ndarray] = {}
+        for b in np.unique(blocks):
+            sel = blocks == b
+            local = (sorted_idx[sel] - b * self.block_size).astype(np.int64)
+            cols = self.read_block(int(b), attrs)
+            for a in attrs:
+                parts[a].append(cols[a][local])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        for a in attrs:
+            cat = (
+                np.concatenate(parts[a], axis=0)
+                if parts[a]
+                else np.empty((0,), dtype=np.uint8)
+            )
+            result_chunks[a] = cat[inv]
+        if zero_color:
+            result_chunks["color"] = np.zeros((len(indices), 3), dtype=np.uint16)
+        return result_chunks
 
     def column(self, name: str, start: int = 0, stop: int | None = None) -> np.ndarray:
         """Materialize a whole attribute column (decodes every covering block)."""

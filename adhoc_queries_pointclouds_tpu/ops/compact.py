@@ -1,0 +1,53 @@
+"""Masked index compaction: variable-size outputs on fixed-shape hardware.
+
+The reference's collect path just pushes hits into a Vec
+(query/src/collect_points.rs:29-31). On TPU, match counts are unpredictable
+(the paper's queries range 35 M ... 2.6 B hits) while shapes must be static,
+so collection is two-pass (SURVEY §7 "hard parts"):
+
+  pass 1: count hits per block (cheap fused scan, predicate.py)
+  pass 2: for blocks with hits, extract hit indices into a power-of-two
+          bucket-capped buffer -> at most log2(block_size) distinct compiled
+          shapes, reused forever after warm-up.
+
+`jnp.nonzero(..., size=cap)` lowers to cumsum+scatter on TPU, one fused pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pow2_bucket(count: int, block_size: int) -> int:
+    """Smallest power-of-two capacity >= count (<= block_size)."""
+    if count <= 0:
+        return 0
+    cap = 1
+    while cap < count:
+        cap <<= 1
+    return min(cap, block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def compact_indices(mask, *, cap: int):
+    """Indices of True entries, padded to `cap` with fill value len(mask).
+
+    Returns (indices[cap] int32, count int32). Indices come out sorted
+    ascending, preserving file order like the reference's sequential push.
+    """
+    n = mask.shape[0]
+    (idx,) = jnp.nonzero(mask, size=cap, fill_value=n)
+    return idx.astype(jnp.int32), jnp.sum(mask, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def compact_gather(mask, values, *, cap: int):
+    """Gather rows of `values` where mask is set (padded to cap)."""
+    n = mask.shape[0]
+    (idx,) = jnp.nonzero(mask, size=cap, fill_value=n)
+    safe = jnp.minimum(idx, n - 1)
+    taken = jnp.take(values, safe, axis=0)
+    return taken, idx.astype(jnp.int32), jnp.sum(mask, dtype=jnp.int32)

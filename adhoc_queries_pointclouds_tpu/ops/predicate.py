@@ -1,0 +1,212 @@
+"""Fused predicate-scan kernels: bbox containment and class equality.
+
+This is the TPU translation of the reference's hot loops
+(query/src/search/las.rs:101-146, last.rs:117-164): the per-point test runs
+on raw int32 LAS coordinates against per-file integer-domain query bounds —
+no f64 math, no world-space materialization for non-hits. The scan is
+HBM-bandwidth-bound (12 B/point for bbox, 1 B/point for class), so the
+kernels are written to move each byte exactly once:
+
+  - Pallas kernel: streams (TILE_R, 128) int32 tiles through VMEM, folds the
+    three axis compares and the valid-index mask into one VPU pass, and emits
+    one partial count per grid step (summed by XLA afterwards).
+  - jnp path: the identical computation left to XLA's fuser; used as a
+    cross-check oracle and as the fallback off-TPU.
+
+Padding is masked by global point index < n_valid — sentinel coordinates are
+impossible since a query may legally cover the full int32 range.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+TILE_ROWS = 1024  # 1024x128 i32 = 512 KiB per coord tile in VMEM
+MIN_BLOCK_MULTIPLE = TILE_ROWS * LANES  # engine pads blocks to this
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# jnp reference implementations (XLA-fused)
+# ---------------------------------------------------------------------------
+
+
+def bbox_mask_jnp(x, y, z, lo, hi, n_valid):
+    """Boolean hit mask for the closed box lo <= (x,y,z) <= hi."""
+    idx = jax.lax.iota(jnp.int32, x.shape[0])
+    m = (x >= lo[0]) & (x <= hi[0])
+    m &= (y >= lo[1]) & (y <= hi[1])
+    m &= (z >= lo[2]) & (z <= hi[2])
+    return m & (idx < n_valid)
+
+
+def class_mask_jnp(cls, class_value, n_valid):
+    idx = jax.lax.iota(jnp.int32, cls.shape[0])
+    return (cls == class_value.astype(cls.dtype)) & (idx < n_valid)
+
+
+def bbox_count_jnp(x, y, z, lo, hi, n_valid):
+    return jnp.sum(bbox_mask_jnp(x, y, z, lo, hi, n_valid), dtype=jnp.int32)
+
+
+def class_count_jnp(cls, class_value, n_valid):
+    return jnp.sum(class_mask_jnp(cls, class_value, n_valid), dtype=jnp.int32)
+
+
+# jitted-once entry points (a fresh jax.jit wrapper per call would re-trace
+# every block; these share one compilation cache across the whole run)
+_bbox_mask_jit = jax.jit(bbox_mask_jnp)
+_class_mask_jit = jax.jit(class_mask_jnp)
+_bbox_count_jit = jax.jit(bbox_count_jnp)
+_class_count_jit = jax.jit(class_count_jnp)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernels
+# ---------------------------------------------------------------------------
+
+
+def _bbox_kernel(bounds_ref, nvalid_ref, x_ref, y_ref, z_ref, out_ref):
+    """One grid step: count hits in a (TILE_ROWS, LANES) tile of each coord."""
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    gidx = (i * TILE_ROWS + row) * LANES + col
+    m = gidx < nvalid_ref[0]
+    x = x_ref[:]
+    m &= (x >= bounds_ref[0]) & (x <= bounds_ref[3])
+    y = y_ref[:]
+    m &= (y >= bounds_ref[1]) & (y <= bounds_ref[4])
+    z = z_ref[:]
+    m &= (z >= bounds_ref[2]) & (z <= bounds_ref[5])
+    partial = jnp.sum(m, dtype=jnp.int32)
+
+    # TPU grid steps run sequentially on a core, so accumulating into one
+    # SMEM scalar across steps is race-free.
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = partial
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[0, 0] += partial
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bbox_count_pallas(x, y, z, lo, hi, n_valid, *, interpret: bool = False):
+    n = x.shape[0]
+    assert n % (TILE_ROWS * LANES) == 0, f"block size {n} not padded to tile multiple"
+    rows = n // LANES
+    grid = rows // TILE_ROWS
+    bounds = jnp.concatenate([lo.astype(jnp.int32), hi.astype(jnp.int32)])
+    nvalid = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    x2 = x.reshape(rows, LANES)
+    y2 = y.reshape(rows, LANES)
+    z2 = z.reshape(rows, LANES)
+    coord_spec = pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    total = pl.pallas_call(
+        _bbox_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[coord_spec, coord_spec, coord_spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=7 * n, bytes_accessed=12 * n + 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(bounds, nvalid, x2, y2, z2)
+    return total[0, 0]
+
+
+def _class_kernel(target_ref, nvalid_ref, cls_ref, out_ref):
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    gidx = (i * TILE_ROWS + row) * LANES + col
+    m = gidx < nvalid_ref[0]
+    m &= cls_ref[:].astype(jnp.int32) == target_ref[0]
+    partial = jnp.sum(m, dtype=jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = partial
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[0, 0] += partial
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def class_count_pallas(cls, class_value, n_valid, *, interpret: bool = False):
+    n = cls.shape[0]
+    assert n % (TILE_ROWS * LANES) == 0, f"block size {n} not padded to tile multiple"
+    rows = n // LANES
+    grid = rows // TILE_ROWS
+    target = jnp.asarray(class_value, jnp.int32).reshape(1)
+    nvalid = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    cls2 = cls.reshape(rows, LANES)
+    total = pl.pallas_call(
+        _class_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((TILE_ROWS, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n, bytes_accessed=n + 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(target, nvalid, cls2)
+    return total[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# dispatching wrappers
+# ---------------------------------------------------------------------------
+
+
+def bbox_count(x, y, z, lo, hi, n_valid, impl: str = "auto"):
+    """Count points in the closed int32 box. impl: auto|pallas|jnp."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() and x.shape[0] % MIN_BLOCK_MULTIPLE == 0 else "jnp"
+    if impl == "pallas":
+        return bbox_count_pallas(x, y, z, lo, hi, n_valid)
+    if impl == "pallas_interpret":
+        return bbox_count_pallas(x, y, z, lo, hi, n_valid, interpret=True)
+    return _bbox_count_jit(x, y, z, lo, hi, jnp.asarray(n_valid, jnp.int32))
+
+
+def class_count(cls, class_value, n_valid, impl: str = "auto"):
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() and cls.shape[0] % MIN_BLOCK_MULTIPLE == 0 else "jnp"
+    if impl == "pallas":
+        return class_count_pallas(cls, class_value, n_valid)
+    if impl == "pallas_interpret":
+        return class_count_pallas(cls, class_value, n_valid, interpret=True)
+    return _class_count_jit(cls, jnp.asarray(class_value, jnp.int32), jnp.asarray(n_valid, jnp.int32))
+
+
+def bbox_mask(x, y, z, lo, hi, n_valid):
+    return _bbox_mask_jit(x, y, z, lo, hi, jnp.asarray(n_valid, jnp.int32))
+
+
+def class_mask(cls, class_value, n_valid):
+    return _class_mask_jit(cls, jnp.asarray(class_value, jnp.int32), jnp.asarray(n_valid, jnp.int32))

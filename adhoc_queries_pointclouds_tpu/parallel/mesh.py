@@ -1,0 +1,101 @@
+"""Device-mesh data parallelism: the TPU-native replacement for rayon.
+
+The reference fans one rayon task out per *file* and folds per-file
+collectors on the main thread (query/src/main.rs:146-183). Here the unit of
+parallelism is a fixed-shape point *block*: every engine step feeds D blocks
+(one per chip) through `shard_map` over a 1-D mesh; each chip runs the fused
+Pallas predicate scan on its block against that block's own per-file integer
+bounds, and the partial counts meet in a `psum` over ICI. Blocks from
+different files can ride the same step — bounds/n_valid are per-block
+operands, not compile-time constants — so ragged file sets still fill the
+mesh.
+
+Multi-host scaling note: under `jax.distributed`, the same program runs with
+each host feeding its local devices from its own shard of the file manifest
+(the rayon-per-file model lifted to hosts); the `psum` then spans the global
+mesh. Single-host meshes are the tested configuration here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops import predicate
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), axis_names=("d",))
+
+
+def _block_impl(x) -> str:
+    """Pick pallas on TPU when the block is tile-aligned, else jnp."""
+    if jax.default_backend() == "tpu" and x.shape[-1] % predicate.MIN_BLOCK_MULTIPLE == 0:
+        return "pallas"
+    return "jnp"
+
+
+@functools.lru_cache(maxsize=8)
+def _bbox_count_fn(mesh: Mesh, impl: str):
+    def per_device(x, y, z, lo, hi, nv):
+        # shapes here are the per-device shards: (1, B), (1, 3), (1,)
+        if impl == "pallas":
+            c = predicate.bbox_count_pallas(x[0], y[0], z[0], lo[0], hi[0], nv[0])
+        else:
+            c = predicate.bbox_count_jnp(x[0], y[0], z[0], lo[0], hi[0], nv[0])
+        return jax.lax.psum(c, "d")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None), P("d", None), P("d")),
+        out_specs=P(),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def _class_count_fn(mesh: Mesh, impl: str):
+    def per_device(cls, target, nv):
+        if impl == "pallas":
+            c = predicate.class_count_pallas(cls[0], target[0], nv[0])
+        else:
+            c = predicate.class_count_jnp(cls[0], target[0], nv[0])
+        return jax.lax.psum(c, "d")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d"), P("d")),
+        out_specs=P(),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    return jax.jit(fn)
+
+
+def sharded_bbox_count(mesh: Mesh, xs, ys, zs, los, his, nvalids, impl: str = "auto"):
+    """Count bbox hits across D blocks, one per device. All args stacked on
+    axis 0 with leading dim == mesh size. Returns a replicated int32 total."""
+    if impl == "auto":
+        impl = _block_impl(xs)
+    return _bbox_count_fn(mesh, impl)(xs, ys, zs, los, his, nvalids)
+
+
+def sharded_class_count(mesh: Mesh, clss, targets, nvalids, impl: str = "auto"):
+    if impl == "auto":
+        impl = _block_impl(clss)
+    return _class_count_fn(mesh, impl)(clss, targets, nvalids)

@@ -15,8 +15,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force the CPU backend explicitly
+# so tests always exercise the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"
 
 from adhoc_queries_pointclouds_tpu.formats import synth  # noqa: E402
 

@@ -1,0 +1,88 @@
+"""CLI surface tests: flag parity with the reference binary (main.rs:194-220)."""
+
+import numpy as np
+import pytest
+
+from adhoc_queries_pointclouds_tpu.cli import main
+from adhoc_queries_pointclouds_tpu.formats import LasFile, synth
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clids")
+    synth.write_dataset(root, n_files=2, points_per_file=20_000, seed=5)
+    return root
+
+
+BOUNDS = "100100;200100;5;100900;200900;90"
+
+
+def test_bbox_query_prints_count(ds, capsys):
+    rc = main(["-i", str(ds / "las"), "--bounds", BOUNDS, "--optimized", "--parallel",
+               "--block-size", "16384"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Found" in out and "matching points" in out
+    assert "throughput" in out
+
+
+def test_reference_style_invocation_matches_subcommand(ds, capsys):
+    main(["-i", str(ds / "last"), "--bounds", BOUNDS, "--block-size", "16384"])
+    a = capsys.readouterr().out
+    main(["query", "-i", str(ds / "last"), "--bounds", BOUNDS, "--block-size", "16384"])
+    b = capsys.readouterr().out
+    get = lambda s: [l for l in s.splitlines() if l.startswith("Found")][0]
+    assert get(a) == get(b)
+
+
+def test_bounds_and_class_mutually_exclusive(ds, capsys):
+    rc = main(["-i", str(ds / "las"), "--bounds", BOUNDS, "--class", "3"])
+    assert rc == 1
+    assert "invalid" in capsys.readouterr().err
+
+
+def test_neither_bounds_nor_class_errors(ds, capsys):
+    rc = main(["-i", str(ds / "las")])
+    assert rc == 1
+    assert "exactly one" in capsys.readouterr().err
+
+
+def test_class_query(ds, capsys):
+    rc = main(["-i", str(ds / "lazer"), "--class", "6", "--block-size", "16384"])
+    assert rc == 0
+    assert "Found" in capsys.readouterr().out
+
+
+def test_output_writes_las(ds, tmp_path, capsys):
+    out = tmp_path / "hits"
+    out.mkdir()
+    rc = main(["-i", str(ds / "las"), "--bounds", BOUNDS, "-o", str(out),
+               "--block-size", "16384"])
+    assert rc == 0
+    written = sorted(out.glob("matching_points_*.las"))
+    assert written
+    f = LasFile(written[0])
+    assert f.point_count > 0
+    f.close()
+
+
+def test_density_query(ds, capsys):
+    rc = main(["-i", str(ds / "las"), "--bounds", BOUNDS, "--density", "100",
+               "--block-size", "16384"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    n = int([l for l in out.splitlines() if l.startswith("Found")][0].split()[1])
+    assert n > 0
+
+
+def test_convert_and_count_points(ds, tmp_path, capsys):
+    src = next((ds / "las").glob("*.las"))
+    rc = main(["convert", "-i", str(src), "-o", str(tmp_path / "c.last")])
+    assert rc == 0
+    rc = main(["convert", "-i", str(src), "-o", str(tmp_path / "c.lazer")])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["count-points", "-i", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Total number of points: 40000" in out  # 2 converted copies x 20k

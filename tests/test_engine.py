@@ -1,0 +1,259 @@
+"""End-to-end engine tests: count/collect/density parity with a NumPy oracle
+across formats, multi-file datasets, and the virtual 8-device CPU mesh.
+Count invariance under shard count is the distributed-correctness test the
+reference never had (SURVEY §4 rebuild implication)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from adhoc_queries_pointclouds_tpu.engine import discover_files, run_query
+from adhoc_queries_pointclouds_tpu.formats import LasFile, open_point_cloud, synth
+from adhoc_queries_pointclouds_tpu.models.query import (
+    BoundsQuery,
+    ClassQuery,
+    DensityConfig,
+    QueryPlan,
+)
+from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+BLOCK = 1 << 14  # small blocks so multi-block paths are exercised on CPU
+
+QUERY_BOX = AABB((100200.0, 200300.0, 10.0), (100700.0, 200800.0, 60.0))
+
+
+def oracle_bbox_count(paths, bounds):
+    total = 0
+    for p in paths:
+        r = open_point_cloud(p)
+        w = r.positions_world()
+        total += int(np.sum(bounds.contains_points(w)))
+        r.close()
+    return total
+
+
+def oracle_class_count(paths, cls):
+    total = 0
+    for p in paths:
+        r = open_point_cloud(p)
+        total += int(np.sum(r.column("classification") == cls))
+        r.close()
+    return total
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    files = synth.write_dataset(
+        root, n_files=3, points_per_file=40_000, seed=11,
+        formats=("las", "last", "lazer"),
+    )
+    return root, files
+
+
+class TestCount:
+    @pytest.mark.parametrize("fmt", ["las", "last", "lazer"])
+    def test_bbox_count_parity(self, dataset, fmt):
+        root, files = dataset
+        oracle = oracle_bbox_count(files[fmt], QUERY_BOX)
+        assert oracle > 0, "query box should hit some points"
+        res = run_query(
+            root / fmt,
+            QueryPlan(bounds=BoundsQuery(QUERY_BOX)),
+            block_size=BLOCK,
+        )
+        assert res.match_count == oracle
+
+    @pytest.mark.parametrize("fmt", ["las", "last", "lazer"])
+    def test_class_count_parity(self, dataset, fmt):
+        root, files = dataset
+        oracle = oracle_class_count(files[fmt], 6)
+        res = run_query(
+            root / fmt,
+            QueryPlan(classification=ClassQuery(6)),
+            block_size=BLOCK,
+        )
+        assert res.match_count == oracle
+
+    def test_class_absent_is_zero(self, dataset):
+        root, _ = dataset
+        res = run_query(
+            root / "las", QueryPlan(classification=ClassQuery(19)), block_size=BLOCK
+        )
+        assert res.match_count == 0  # paper's "noclass" experiment
+
+    def test_count_invariant_under_device_count(self, dataset):
+        root, files = dataset
+        oracle = oracle_bbox_count(files["last"], QUERY_BOX)
+        for nd in (1, 2, 8):
+            res = run_query(
+                root / "last",
+                QueryPlan(bounds=BoundsQuery(QUERY_BOX)),
+                block_size=BLOCK,
+                n_devices=nd,
+            )
+            assert res.match_count == oracle, f"count changed with {nd} devices"
+
+    def test_single_file_input(self, dataset):
+        root, files = dataset
+        one = files["las"][0]
+        oracle = oracle_bbox_count([one], QUERY_BOX)
+        res = run_query(one, QueryPlan(bounds=BoundsQuery(QUERY_BOX)), block_size=BLOCK)
+        assert res.match_count == oracle
+
+    def test_no_hits_disjoint_box(self, dataset):
+        root, _ = dataset
+        box = AABB((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+        res = run_query(root / "las", QueryPlan(bounds=BoundsQuery(box)), block_size=BLOCK)
+        assert res.match_count == 0
+
+
+class TestCollect:
+    @pytest.mark.parametrize("fmt", ["las", "last", "lazer"])
+    def test_collect_writes_las_with_exact_hits(self, dataset, tmp_path, fmt):
+        root, files = dataset
+        out = tmp_path / f"out_{fmt}"
+        out.mkdir()
+        res = run_query(
+            root / fmt,
+            QueryPlan(bounds=BoundsQuery(QUERY_BOX), output_dir=out),
+            block_size=BLOCK,
+            keep_hits=True,
+        )
+        oracle = oracle_bbox_count(files[fmt], QUERY_BOX)
+        assert res.match_count == oracle
+        # read back all written files, verify every point is inside the box
+        total_written = 0
+        for f in res.output_files:
+            back = LasFile(f)
+            w = back.positions_world()
+            assert np.all(QUERY_BOX.contains_points(w))
+            total_written += back.point_count
+            back.close()
+        assert total_written == oracle
+
+    def test_collect_attributes_match_source(self, dataset, tmp_path):
+        root, files = dataset
+        res = run_query(
+            root / "last",
+            QueryPlan(bounds=BoundsQuery(QUERY_BOX), output_dir=tmp_path),
+            block_size=BLOCK,
+            keep_hits=True,
+        )
+        # oracle: recompute hit rows for file 0 and compare attrs
+        r = open_point_cloud(files["last"][0])
+        w = r.positions_world()
+        mask = QUERY_BOX.contains_points(w)
+        idx = np.nonzero(mask)[0]
+        hits0 = res.hits[0]
+        np.testing.assert_allclose(hits0.position_world, w[idx])
+        np.testing.assert_array_equal(
+            hits0.classification, r.column("classification")[idx]
+        )
+        np.testing.assert_array_equal(hits0.color, r.column("color")[idx])
+        np.testing.assert_array_equal(hits0.intensity, r.column("intensity")[idx])
+        r.close()
+
+
+class TestDensity:
+    def _oracle_density(self, paths, bounds, cell, scope="global"):
+        """Dict-based SparseGrid oracle (f64, reference semantics)."""
+        dims = np.maximum(np.ceil(np.asarray(bounds.extent) / cell), 1)
+        bmin = np.asarray(bounds.min)
+        ext = np.asarray(bounds.extent)
+        states = []
+        cells = {}
+        for p in paths:
+            if scope == "file":
+                cells = {}
+            r = open_point_cloud(p)
+            w = r.positions_world()
+            m = bounds.contains_points(w)
+            for i in np.nonzero(m)[0]:
+                c = tuple(np.floor((w[i] - bmin) * dims / ext).astype(np.int64))
+                center = (np.asarray(c, np.float64) + 0.5) * cell + bmin
+                d2 = float(np.sum((w[i] - center) ** 2))
+                if c not in cells or d2 < cells[c][0]:
+                    cells[c] = (d2, str(p), int(i))
+            r.close()
+            if scope == "file":
+                states.append(dict(cells))
+        if scope == "file":
+            return sum(len(s) for s in states)
+        return len(cells)
+
+    @pytest.mark.parametrize("scope", ["global", "file"])
+    def test_density_count_vs_oracle(self, dataset, scope):
+        root, files = dataset
+        cell = 50.0
+        oracle = self._oracle_density(files["last"], QUERY_BOX, cell, scope)
+        res = run_query(
+            root / "last",
+            QueryPlan(
+                bounds=BoundsQuery(QUERY_BOX),
+                density=DensityConfig(cell, scope),
+            ),
+            block_size=BLOCK,
+            keep_hits=True,
+        )
+        assert res.match_count == oracle
+
+    def test_density_points_inside_box_and_sparse(self, dataset, tmp_path):
+        root, files = dataset
+        cell = 100.0
+        res = run_query(
+            root / "last",
+            QueryPlan(
+                bounds=BoundsQuery(QUERY_BOX),
+                density=DensityConfig(cell, "global"),
+                output_dir=tmp_path,
+            ),
+            block_size=BLOCK,
+            keep_hits=True,
+        )
+        assert res.match_count > 0
+        pts = np.concatenate([h.position_world for h in res.hits if h.count])
+        assert np.all(QUERY_BOX.contains_points(pts))
+        # at most one point per cell
+        bmin = np.asarray(QUERY_BOX.min)
+        dims = np.maximum(np.ceil(np.asarray(QUERY_BOX.extent) / cell), 1)
+        keys = np.floor((pts - bmin) * dims / np.asarray(QUERY_BOX.extent)).astype(int)
+        assert len(np.unique(keys, axis=0)) == len(keys)
+
+    def test_density_without_bounds_uses_total_bounds(self, dataset):
+        root, files = dataset
+        res = run_query(
+            root / "last",
+            QueryPlan(
+                classification=ClassQuery(6),
+                density=DensityConfig(200.0, "global"),
+            ),
+            block_size=BLOCK,
+            keep_hits=True,
+        )
+        assert res.match_count > 0
+        pts = np.concatenate([h.position_world for h in res.hits if h.count])
+        cls = np.concatenate([h.classification for h in res.hits if h.count])
+        assert np.all(cls == 6)
+
+
+class TestDiscovery:
+    def test_mixed_extensions_filtered(self, dataset, tmp_path):
+        root, files = dataset
+        (root / "las" / "notes.txt").write_text("ignore me")
+        found = discover_files(root / "las")
+        assert all(f.suffix == ".las" for f in found)
+        assert len(found) == 3
+
+    def test_missing_path_raises(self):
+        with pytest.raises(FileNotFoundError):
+            discover_files("/nonexistent/path")
+
+    def test_plan_validation(self):
+        with pytest.raises(ValueError):
+            QueryPlan()  # neither bounds nor class
+        with pytest.raises(ValueError):
+            QueryPlan(
+                bounds=BoundsQuery(QUERY_BOX), classification=ClassQuery(1)
+            )  # both
