@@ -97,7 +97,7 @@ def cmd_query(args: argparse.Namespace) -> int:
 
 
 def cmd_convert(args: argparse.Namespace) -> int:
-    from .formats import las_to_last, las_to_lazer
+    from .formats import las_to_last, las_to_laz, las_to_lazer
 
     src = Path(args.input)
     dst = Path(args.output)
@@ -106,6 +106,8 @@ def cmd_convert(args: argparse.Namespace) -> int:
         las_to_last(src, dst)
     elif fmt == "lazer":
         las_to_lazer(src, dst, block_size=args.lazer_block_size)
+    elif fmt == "laz":
+        las_to_laz(src, dst, chunk_size=args.lazer_block_size)
     else:
         print(f"Unsupported conversion target .{fmt}", file=sys.stderr)
         return 1

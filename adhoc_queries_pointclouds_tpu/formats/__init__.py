@@ -18,6 +18,7 @@ from pathlib import Path
 
 from .las import LasFile, LasHeader, parse_las_header, write_las  # noqa: F401
 from .last import LastFile, las_to_last  # noqa: F401
+from .laz import LazFile, las_to_laz  # noqa: F401
 from .lazer import LazerFile, las_to_lazer  # noqa: F401
 
 SUPPORTED_EXTENSIONS = ("las", "laz", "last", "lazer")
@@ -34,8 +35,6 @@ def open_point_cloud(path: str | Path):
     if ext == "lazer":
         return LazerFile(path)
     if ext == "laz":
-        from .laz import LazFile
-
         return LazFile(path)
     raise ValueError(f"Unsupported file extension in file {path}")
 

@@ -120,6 +120,12 @@ def write_cloud_lazer(cloud: SynthCloud, path: str | Path, block_size: int = 50_
     write_lazer(path, cloud.header, cloud.columns(), block_size=block_size)
 
 
+def write_cloud_laz(cloud: SynthCloud, path: str | Path, chunk_size: int = 50_000) -> None:
+    from .laz import write_laz
+
+    write_laz(path, cloud.header, cloud.columns(), chunk_size=chunk_size)
+
+
 def write_dataset(
     root: str | Path,
     *,
@@ -162,6 +168,8 @@ def write_dataset(
                 write_cloud_last(cloud, p)
             elif fmt == "lazer":
                 write_cloud_lazer(cloud, p)
+            elif fmt == "laz":
+                write_cloud_laz(cloud, p)
             else:
                 raise ValueError(f"unsupported synth format {fmt}")
             out[fmt].append(p)

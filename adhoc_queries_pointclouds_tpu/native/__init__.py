@@ -17,14 +17,16 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).parent
-_SRC = _HERE / "aqpc_native.cpp"
+_SOURCES = [_HERE / "aqpc_native.cpp", _HERE / "laszip.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 
 
 def _build_if_needed() -> Path:
-    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    so_path = _HERE / f"_aqpc_native_{src_hash}.so"
+    h = hashlib.sha256()
+    for src in _SOURCES:
+        h.update(src.read_bytes())
+    so_path = _HERE / f"_aqpc_native_{h.hexdigest()[:16]}.so"
     if so_path.exists():
         return so_path
     # clean stale builds
@@ -40,10 +42,10 @@ def _build_if_needed() -> Path:
         "-shared",
         "-fPIC",
         "-std=c++17",
+        "-pthread",
         "-o",
         str(so_path),
-        str(_SRC),
-    ]
+    ] + [str(s) for s in _SOURCES]
     subprocess.run(cmd, check=True, capture_output=True)
     return so_path
 
@@ -83,6 +85,28 @@ def load() -> ctypes.CDLL | None:
         lib.aqpc_lz4_frames_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.aqpc_laz_read_chunk_table.restype = ctypes.c_int64
+        lib.aqpc_laz_read_chunk_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int64]
+        lib.aqpc_laz_write_chunk_table.restype = ctypes.c_int64
+        lib.aqpc_laz_write_chunk_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_size_t]
+        lib.aqpc_laz_decode_chunks.restype = ctypes.c_int64
+        lib.aqpc_laz_decode_chunks.argtypes = (
+            [ctypes.c_void_p, ctypes.c_size_t]  # file, size
+            + [ctypes.c_void_p] * 3             # offsets, byte sizes, point counts
+            + [ctypes.c_int64]                  # n_chunks
+            + [ctypes.c_void_p] * 12            # x..extra
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra_size, gps, rgb
+               ctypes.c_int64, ctypes.c_int64]  # points_per_chunk, threads
+        )
+        lib.aqpc_laz_encode_chunks.restype = ctypes.c_int64
+        lib.aqpc_laz_encode_chunks.argtypes = (
+            [ctypes.c_void_p] * 12              # x..extra
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra_size, gps, rgb
+               ctypes.c_int64, ctypes.c_int64]  # n_points, chunk_size
+            + [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int64]
+        )
         _LIB = lib
         return _LIB
 
