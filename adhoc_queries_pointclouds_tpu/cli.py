@@ -130,9 +130,21 @@ def cmd_count_points(args: argparse.Namespace) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    if os.environ.get("AQPC_FORCE_CPU"):
+        # the axon TPU plugin ignores JAX_PLATFORMS; honor an explicit ask
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
     argv = list(sys.argv[1:] if argv is None else argv)
+    subcommands = ("query", "convert", "count-points", "experiments", "postgis")
     # Bare reference-style invocation: `query -i ... --bounds ...`
-    if argv and argv[0] not in ("query", "convert", "count-points", "-h", "--help"):
+    if argv and argv[0] not in subcommands + ("-h", "--help"):
         argv = ["query"] + argv
 
     parser = argparse.ArgumentParser(
@@ -154,6 +166,15 @@ def main(argv: list[str] | None = None) -> int:
     np_ = sub.add_parser("count-points", help="Header-only total point count")
     np_.add_argument("-i", "--input", required=True)
     np_.set_defaults(fn=cmd_count_points)
+
+    if argv and argv[0] == "experiments":
+        from .experiments import main as exp_main
+
+        return exp_main(argv[1:])
+    if argv and argv[0] == "postgis":
+        from .postgis import main as pg_main
+
+        return pg_main(argv[1:])
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -182,6 +182,16 @@ def run_query(
     with timer.stage("open"):
         readers = [open_point_cloud(f) for f in files]
 
+    # Clamp the block to the largest file: tiny files padded to a huge block
+    # would waste device work (the density sort is O(block log block)).
+    max_pts = max((r.point_count for r in readers), default=0)
+    if max_pts and max_pts < block_size:
+        if jax.default_backend() == "tpu":
+            quantum = predicate.MIN_BLOCK_MULTIPLE  # pallas tile alignment
+        else:
+            quantum = 8192
+        block_size = min(block_size, ((max_pts + quantum - 1) // quantum) * quantum)
+
     is_bounds = plan.bounds is not None
     query_bounds = plan.bounds.bounds if is_bounds else None
 

@@ -1,0 +1,219 @@
+"""Paper experiment harness — the reference `run_query_experiments` binary
+(query/src/bin/run_query_experiments.rs) rebuilt for this engine.
+
+Protocol parity:
+  - experiments 1-3: AABB S/L/XL x {full, max-density} on navvis3/doc/ca13,
+    each over the four formats las/laz/last/lazer
+    (run_query_experiments.rs:106-309)
+  - experiments 4-5: class {6 building, 19 noclass} on doc/ca13 x 4 formats
+    (run_query_experiments.rs:311-380)
+  - every cell: reset the OS page cache, run the query CLI as a fresh
+    subprocess, repeat `runs` times (default 5), report
+    `name;mean;median;stddev` in seconds (rs:287-304, 412-413)
+  - dataset layout: <root>/<dataset>/<fmt>/*.{fmt} (reference README.md:31-47)
+
+The hard-coded query boxes and density values below are the published
+experiment constants from run_query_experiments.rs:109-144,164,203,240.
+
+Since the paper datasets are tens of GB of external data, `--synthesize N`
+generates a synthetic stand-in dataset with the expected directory layout so
+the whole protocol is runnable end to end anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+from .utils.aabb import AABB
+
+FORMATS = ("las", "laz", "last", "lazer")
+
+# published experiment constants (run_query_experiments.rs:109-144)
+AABBS = {
+    "navvis3": {
+        "s": AABB((0.0, 0.0, 0.0), (2.0, 2.0, 2.0)),
+        "l": AABB((0.0, 0.0, 0.0), (20.0, 20.0, 5.0)),
+        "xl": AABB((-23.108, -21.261, -10.029), (28.588, 27.123, 5.959)),
+    },
+    "doc": {
+        "s": AABB((390000.0, 130000.0, 0.0), (390500.0, 140000.0, 200.0)),
+        "l": AABB((390000.0, 130000.0, 0.0), (400000.0, 140000.0, 200.0)),
+        "xl": AABB((389400.0, 124200.0, -94.88), (406200.0, 148200.0, 760.03)),
+    },
+    "ca13": {
+        "s": AABB((665000.0, 3910000.0, 0.0), (705000.0, 3950000.0, 480.0)),
+        "l": AABB((665000.0, 3910000.0, 0.0), (710000.0, 3950000.0, 480.0)),
+        "xl": AABB((643431.76, 3883547.565, -46194.145), (736910.93, 3977026.735, 47285.025)),
+    },
+}
+
+DENSITIES = {"navvis3": 0.1, "doc": 25.0, "ca13": 100.0}
+
+CLASS_EXPERIMENTS = [("building", 6), ("noclass", 19)]
+
+EXPERIMENT_DATASETS = {1: "navvis3", 2: "doc", 3: "ca13", 4: "doc", 5: "ca13"}
+
+
+def reset_page_cache() -> None:
+    """Cold-cache protocol (run_query_experiments.rs:8-27; Linux analog of
+    the reference's macOS sync+purge)."""
+    subprocess.run(["sync"], check=True)
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+    except PermissionError:
+        print(
+            "warning: cannot drop page caches (need root); runs are warm-cache",
+            file=sys.stderr,
+        )
+
+
+def _query_cmd(dataset_path: Path, extra: list[str]) -> list[str]:
+    return [
+        sys.executable,
+        "-m",
+        "adhoc_queries_pointclouds_tpu.cli",
+        "-i",
+        str(dataset_path),
+        "--optimized",
+        "--parallel",
+    ] + extra
+
+
+def execute_query(dataset_path: Path, extra: list[str], cold: bool = True) -> float:
+    """One timed subprocess run of the query CLI (rs:29-75 pattern)."""
+    if cold:
+        reset_page_cache()
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        _query_cmd(dataset_path, extra), capture_output=True, text=True
+    )
+    elapsed = time.perf_counter() - t0
+    if proc.returncode != 0:
+        print(proc.stderr, file=sys.stderr)
+        raise RuntimeError(f"query failed on {dataset_path} (exit {proc.returncode})")
+    return elapsed
+
+
+def _stats_row(name: str, runtimes: list[float]) -> str:
+    mean = statistics.fmean(runtimes)
+    median = statistics.median(runtimes)
+    stddev = statistics.stdev(runtimes) if len(runtimes) > 1 else 0.0
+    return f"{name};{mean};{median};{stddev}"
+
+
+def run_aabb_experiments(
+    in_path: Path, num_runs: int, dataset: str, *, cold: bool = True
+) -> None:
+    boxes = AABBS[dataset]
+    density = DENSITIES[dataset]
+    for bounds_name in ("s", "l", "xl"):
+        b = boxes[bounds_name]
+        bounds_str = ";".join(
+            str(v) for v in (*b.min, *b.max)
+        )
+        for use_density in (False, True):
+            for ext in FORMATS:
+                path = in_path / dataset / ext
+                label = (
+                    f"{dataset}_{bounds_name}_{'lod' if use_density else 'full'}_{ext}"
+                )
+                print(f"Experiment {label}...", file=sys.stderr)
+                extra = ["--bounds", bounds_str]
+                if use_density:
+                    extra += ["--density", str(density), "--density-scope", "file"]
+                runtimes = [execute_query(path, extra, cold) for _ in range(num_runs)]
+                print(_stats_row(label, runtimes), flush=True)
+
+
+def run_class_experiments(
+    in_path: Path, num_runs: int, dataset: str, *, cold: bool = True
+) -> None:
+    for class_name, class_value in CLASS_EXPERIMENTS:
+        for ext in FORMATS:
+            path = in_path / dataset / ext
+            label = f"{dataset}_{class_name}_{ext}"
+            print(f"Experiment {label}...", file=sys.stderr)
+            extra = ["--class", str(class_value)]
+            runtimes = [execute_query(path, extra, cold) for _ in range(num_runs)]
+            print(_stats_row(label, runtimes), flush=True)
+
+
+def synthesize_dataset(
+    root: Path, dataset: str, n_files: int, points_per_file: int, seed: int = 0
+) -> None:
+    """Generate a synthetic stand-in with the experiment layout and world
+    extents matching the published query boxes (so S/L/XL have real bite)."""
+    from .formats import synth
+
+    xl = AABBS[dataset]["xl"]
+    extent = tuple((hi - lo) / n_files if i == 0 else (hi - lo)
+                   for i, (lo, hi) in enumerate(zip(xl.min, xl.max)))
+    scale_mag = max(e / n_files for e in extent) / (2**30)
+    scale = max(10.0 ** math.ceil(math.log10(max(scale_mag, 1e-12))), 0.001)
+    synth.write_dataset(
+        root / dataset,
+        n_files=n_files,
+        points_per_file=points_per_file,
+        formats=FORMATS,
+        seed=seed,
+        point_format=2,
+        offset=xl.min,
+        extent=extent,
+        scale=(scale, scale, scale),
+        classes=(1, 2, 3, 4, 5, 6),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="aqpc-experiments",
+        description="Run the point-cloud query experiments (paper protocol)",
+    )
+    parser.add_argument("-i", "--input", required=True, help="Root directory of datasets")
+    parser.add_argument(
+        "-e", "--experiment", type=int, required=True,
+        help="1 (navvis AABB), 2 (doc AABB), 3 (ca13 AABB), 4 (doc class), 5 (ca13 class)",
+    )
+    parser.add_argument("--runs", type=int, default=5)
+    parser.add_argument(
+        "--warm", action="store_true",
+        help="Skip the page-cache reset between runs (measure warm-cache)",
+    )
+    parser.add_argument(
+        "--synthesize", type=int, metavar="POINTS_PER_FILE", default=0,
+        help="Generate a synthetic stand-in dataset of this size first",
+    )
+    parser.add_argument("--synthesize-files", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    if args.experiment not in EXPERIMENT_DATASETS:
+        print("Invalid experiment ID. Must be between 1 and 5.", file=sys.stderr)
+        return 1
+    dataset = EXPERIMENT_DATASETS[args.experiment]
+    root = Path(args.input)
+
+    if args.synthesize:
+        print(f"Synthesizing {dataset} stand-in dataset...", file=sys.stderr)
+        synthesize_dataset(root, dataset, args.synthesize_files, args.synthesize)
+
+    print(
+        "Running experiments... Output is: experiment_name;mean;median;stddev "
+        "with runtimes in seconds",
+        file=sys.stderr,
+    )
+    if args.experiment <= 3:
+        run_aabb_experiments(root, args.runs, dataset, cold=not args.warm)
+    else:
+        run_class_experiments(root, args.runs, dataset, cold=not args.warm)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

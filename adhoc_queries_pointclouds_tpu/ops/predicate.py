@@ -179,14 +179,78 @@ def class_count_pallas(cls, class_value, n_valid, *, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# dispatching wrappers
+# dispatching wrappers with one-shot autotuning
 # ---------------------------------------------------------------------------
+
+_AUTOTUNED: str | None = None
+
+
+def autotune_impl() -> str:
+    """Pick pallas vs jnp by measuring both once on this backend.
+
+    On real TPU silicon the fused Pallas scan wins (it streams tiles through
+    VMEM with no intermediate mask materialization). Some virtualized /
+    emulated TPU backends execute Mosaic kernels orders of magnitude slower
+    than plain XLA ops, so the choice is measured, not assumed. Override
+    with AQPC_IMPL=pallas|jnp.
+    """
+    global _AUTOTUNED
+    if _AUTOTUNED is not None:
+        return _AUTOTUNED
+    import os
+
+    forced = os.environ.get("AQPC_IMPL")
+    if forced in ("pallas", "jnp"):
+        _AUTOTUNED = forced
+        return forced
+    if not _on_tpu():
+        _AUTOTUNED = "jnp"
+        return "jnp"
+    import time
+
+    import numpy as np
+
+    n = MIN_BLOCK_MULTIPLE
+    iters = 8
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (n,), -(2**30), 2**30, dtype=jnp.int32)
+    lo = jnp.array([-(2**29)] * 3, jnp.int32)
+    hi = jnp.array([2**29] * 3, jnp.int32)
+    nv = jnp.asarray(n, jnp.int32)
+
+    def measure(fn):
+        # One dispatch looping on-device, completion forced by the scalar
+        # fetch: block_until_ready can return early on tunneled backends,
+        # and identical queued executions may be coalesced.
+        @jax.jit
+        def multi(hi0):
+            def body(k, acc):
+                return acc + fn(x, x, x, lo, hi0 + k, nv)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        int(multi(hi))  # compile + warm
+        t0 = time.perf_counter()
+        int(multi(hi + 1))
+        return time.perf_counter() - t0
+
+    try:
+        t_pallas = measure(bbox_count_pallas)
+        t_jnp = measure(bbox_count_jnp)
+        _AUTOTUNED = "pallas" if t_pallas <= t_jnp else "jnp"
+    except Exception:
+        _AUTOTUNED = "jnp"
+    return _AUTOTUNED
 
 
 def bbox_count(x, y, z, lo, hi, n_valid, impl: str = "auto"):
     """Count points in the closed int32 box. impl: auto|pallas|jnp."""
     if impl == "auto":
-        impl = "pallas" if _on_tpu() and x.shape[0] % MIN_BLOCK_MULTIPLE == 0 else "jnp"
+        impl = (
+            autotune_impl()
+            if _on_tpu() and x.shape[0] % MIN_BLOCK_MULTIPLE == 0
+            else "jnp"
+        )
     if impl == "pallas":
         return bbox_count_pallas(x, y, z, lo, hi, n_valid)
     if impl == "pallas_interpret":
@@ -196,7 +260,11 @@ def bbox_count(x, y, z, lo, hi, n_valid, impl: str = "auto"):
 
 def class_count(cls, class_value, n_valid, impl: str = "auto"):
     if impl == "auto":
-        impl = "pallas" if _on_tpu() and cls.shape[0] % MIN_BLOCK_MULTIPLE == 0 else "jnp"
+        impl = (
+            autotune_impl()
+            if _on_tpu() and cls.shape[0] % MIN_BLOCK_MULTIPLE == 0
+            else "jnp"
+        )
     if impl == "pallas":
         return class_count_pallas(cls, class_value, n_valid)
     if impl == "pallas_interpret":

@@ -42,9 +42,9 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def _block_impl(x) -> str:
-    """Pick pallas on TPU when the block is tile-aligned, else jnp."""
+    """Pick the autotuned impl on TPU when the block is tile-aligned."""
     if jax.default_backend() == "tpu" and x.shape[-1] % predicate.MIN_BLOCK_MULTIPLE == 0:
-        return "pallas"
+        return predicate.autotune_impl()
     return "jnp"
 
 

@@ -25,13 +25,48 @@ from pathlib import Path
 
 import numpy as np
 
-N_POINTS = 32 * 1024 * 1024  # 32M points resident per scan (384 MiB xyz)
+# 8M points per scan: large enough to dwarf dispatch overhead, small enough
+# to keep device interactions short on a flaky tunnel
+N_POINTS = 8 * 1024 * 1024
 WARMUP = 3
 ITERS = 10
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def wait_device_healthy(budget_s: float = 240.0) -> None:
+    """The tunneled axon TPU intermittently stalls for minutes; gate the
+    heavy benchmark section on a trivial-dispatch probe so a bad window
+    delays rather than poisons the measurement."""
+    import jax
+
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        t0 = time.perf_counter()
+        try:
+            jax.jit(lambda v: v + 1)(jnp_scalar()).block_until_ready()
+            dt = time.perf_counter() - t0
+            if dt < 5.0:
+                if attempt:
+                    log(f"device healthy again after {attempt} probe(s)")
+                return
+        except Exception as e:
+            log(f"health probe error: {e}")
+        attempt += 1
+        if time.monotonic() > deadline:
+            log("device still slow after probe budget; proceeding anyway")
+            return
+        log(f"device slow (probe {attempt}); waiting 20s...")
+        time.sleep(20.0)
+
+
+def jnp_scalar():
+    import jax.numpy as jnp
+
+    return jnp.float32(1.0)
 
 
 def numpy_baseline(x, y, z, lo, hi) -> float:
@@ -53,6 +88,13 @@ def numpy_baseline(x, y, z, lo, hi) -> float:
 
 
 def device_scan(x, y, z, lo, hi) -> float:
+    """Time ITERS scans with distinct bounds inside ONE device dispatch.
+
+    A lax.fori_loop keeps the measurement on-device: host<->device round
+    trips (large and flaky over the tunneled axon backend) are paid once,
+    and distinct bounds per iteration defeat any execution memoization that
+    would fake above-speed-of-light numbers.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -60,32 +102,67 @@ def device_scan(x, y, z, lo, hi) -> float:
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    impl = "pallas" if on_tpu else "jnp"
-    log(f"device: {jax.devices()[0]} (backend={backend}, impl={impl})")
+    log(f"device: {jax.devices()[0]} (backend={backend})")
+    wait_device_healthy()
 
-    dx = jax.device_put(x)
-    dy = jax.device_put(y)
-    dz = jax.device_put(z)
+    # Generate the columns ON DEVICE: bulk H2D transfers are the op most
+    # prone to multi-minute stalls on the tunneled backend, and a kernel
+    # throughput measurement doesn't need host data. Same distribution as
+    # the numpy baseline, so selectivity matches.
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(0)
+    kx, ky, kz = jax.random.split(key, 3)
+    shape = (len(x),)
+    dx = jax.random.randint(kx, shape, -(2**30), 2**30, dtype=jnp.int32)
+    dy = jax.random.randint(ky, shape, -(2**30), 2**30, dtype=jnp.int32)
+    dz = jax.random.randint(kz, shape, -(2**30), 2**30, dtype=jnp.int32)
     dlo = jax.device_put(lo)
     dhi = jax.device_put(hi)
-    n = np.int32(len(x))
+    n = jnp.asarray(len(x), jnp.int32)
+    jax.block_until_ready([dx, dy, dz, dlo, dhi])
+    log(f"device data generated in {time.perf_counter() - t0:.1f}s")
 
-    def run():
-        return predicate.bbox_count(dx, dy, dz, dlo, dhi, n, impl=impl)
+    def make_multi(impl):
+        def one(hi_k):
+            if impl == "pallas":
+                return predicate.bbox_count_pallas(dx, dy, dz, dlo, hi_k, n)
+            return predicate.bbox_count_jnp(dx, dy, dz, dlo, hi_k, n)
 
-    for _ in range(WARMUP):
-        c = run()
-    c.block_until_ready()
-    count = int(c)
+        @jax.jit
+        def multi(hi0):
+            def body(k, acc):
+                return acc + one(hi0 + k)
 
-    t0 = time.perf_counter()
-    results = [run() for _ in range(ITERS)]
-    results[-1].block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    pps = len(x) / dt
-    gbs = pps * 12 / 1e9
-    log(f"device scan: {count} hits, {pps / 1e6:.1f} Mpts/s ({gbs:.1f} GB/s of HBM reads)")
-    return pps
+            return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        return multi
+
+    def measure(impl):
+        multi = make_multi(impl)
+        int(multi(dhi))  # warm (compile); int() forces real completion —
+        # block_until_ready can return early on this backend
+        t0 = time.perf_counter()
+        total = int(multi(dhi + 1))
+        dt = (time.perf_counter() - t0) / ITERS
+        return len(x) / dt, total
+
+    candidates = ["jnp", "pallas"] if on_tpu else ["jnp"]
+    best = 0.0
+    best_impl = "jnp"
+    for impl in candidates:
+        try:
+            pps, total = measure(impl)
+        except Exception as e:
+            log(f"impl {impl} failed: {e}")
+            continue
+        log(
+            f"device scan [{impl}]: {pps / 1e6:.1f} Mpts/s "
+            f"({pps * 12 / 1e9:.1f} GB/s reads), checksum {total}"
+        )
+        if pps > best:
+            best, best_impl = pps, impl
+    log(f"best impl: {best_impl}")
+    return best
 
 
 def end_to_end(tmpdir: Path) -> None:
@@ -116,6 +193,20 @@ def end_to_end(tmpdir: Path) -> None:
 
 
 def main() -> None:
+    import os
+
+    import jax
+
+    if not os.environ.get("AQPC_NO_COMPILE_CACHE"):
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.expanduser("~"), ".cache", "aqpc_jax"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass
+
     rng = np.random.default_rng(0)
     log(f"generating {N_POINTS / 1e6:.0f}M random int32 points...")
     x = rng.integers(-(2**30), 2**30, N_POINTS, dtype=np.int64).astype(np.int32)
@@ -127,10 +218,13 @@ def main() -> None:
     baseline_pps = numpy_baseline(x, y, z, lo, hi)
     device_pps = device_scan(x, y, z, lo, hi)
 
-    try:
-        end_to_end(Path(".bench_data"))
-    except Exception as e:  # end-to-end is informational; never fail the bench
-        log(f"end-to-end bench skipped: {e}")
+    # informational streaming bench; opt-in because a flaky tunnel window
+    # can stall the engine's H2D transfers past the driver's time budget
+    if os.environ.get("AQPC_BENCH_E2E"):
+        try:
+            end_to_end(Path(".bench_data"))
+        except Exception as e:
+            log(f"end-to-end bench skipped: {e}")
 
     print(
         json.dumps(
