@@ -40,6 +40,10 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument("--parallel", action="store_true", help="(parity no-op: always parallel)")
     parser.add_argument("--optimized", action="store_true", help="(parity no-op: always optimized)")
+    parser.add_argument(
+        "--print-points", action="store_true",
+        help="Print each matching point (reference StdOutCollector)",
+    )
     parser.add_argument("--parity-quirk", action="store_true",
                         help="Replicate the reference's exact world->local bounds conversion")
     parser.add_argument("--block-size", type=int, default=None, help="Points per device block")
@@ -47,6 +51,10 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--devices", type=int, default=None, help="Limit device count")
     parser.add_argument("--workers", type=int, default=8, help="Host decode threads")
     parser.add_argument("--stats", action="store_true", help="Print per-stage timings")
+    parser.add_argument(
+        "--profile", metavar="DIR",
+        help="Capture a jax.profiler trace of the query into DIR",
+    )
 
 
 def cmd_query(args: argparse.Namespace) -> int:
@@ -72,20 +80,44 @@ def cmd_query(args: argparse.Namespace) -> int:
         classification=ClassQuery(maybe_class) if maybe_class is not None else None,
         density=DensityConfig(args.density, args.density_scope) if args.density else None,
         output_dir=Path(args.output) if args.output else None,
+        print_points=args.print_points,
         parity_quirk=args.parity_quirk,
     )
     kwargs = {}
     if args.block_size:
         kwargs["block_size"] = args.block_size
-    result = run_query(
-        args.input,
-        plan,
-        impl=args.impl,
-        n_devices=args.devices,
-        workers=args.workers,
-        **kwargs,
-    )
+
+    def execute():
+        return run_query(
+            args.input,
+            plan,
+            impl=args.impl,
+            n_devices=args.devices,
+            workers=args.workers,
+            keep_hits=args.print_points,
+            **kwargs,
+        )
+
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            result = execute()
+        print(f"Profiler trace written to {args.profile}")
+    else:
+        result = execute()
     print(f"Searching {result.files_searched} files...")
+    if args.print_points:
+        for hits in result.hits:
+            for i in range(hits.count):
+                p = hits.position_world[i]
+                c = hits.color[i]
+                print(
+                    f"Found point: ({p[0]:.3f}, {p[1]:.3f}, {p[2]:.3f}) "
+                    f"class={hits.classification[i]} "
+                    f"rgb=({c[0]}, {c[1]}, {c[2]}) "
+                    f"intensity={hits.intensity[i]}"
+                )
     if plan.output_dir is not None:
         for f in result.output_files:
             print(f"Wrote {f}")

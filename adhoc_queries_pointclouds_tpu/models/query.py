@@ -67,6 +67,9 @@ class QueryPlan:
     classification: ClassQuery | None = None
     density: DensityConfig | None = None
     output_dir: Path | None = None
+    # Materialize and print matching points (reference StdOutCollector,
+    # query/src/collect_points.rs:46-70).
+    print_points: bool = False
     # Replicate the reference's exact world->local bounds conversion
     # (truncation casts + x-scale quirk, search/las.rs:88-99) for parity runs.
     parity_quirk: bool = False
@@ -80,4 +83,8 @@ class QueryPlan:
     @property
     def collects_points(self) -> bool:
         """Whether matching points must be materialized (vs counted)."""
-        return self.output_dir is not None or self.density is not None
+        return (
+            self.output_dir is not None
+            or self.density is not None
+            or self.print_points
+        )

@@ -86,3 +86,29 @@ def test_convert_and_count_points(ds, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Total number of points: 40000" in out  # 2 converted copies x 20k
+
+
+def test_print_points(ds, capsys):
+    rc = main(["-i", str(ds / "las"), "--bounds", "100100;200100;5;100103;200900;90",
+               "--print-points", "--block-size", "16384"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("Found point:")]
+    count = int([l for l in out.splitlines() if l.startswith("Found ") and "matching" in l][0].split()[1])
+    assert len(lines) == count
+    assert "class=" in lines[0] and "rgb=" in lines[0]
+
+
+def test_profile_flag(ds, tmp_path, capsys):
+    rc = main(["-i", str(ds / "las"), "--class", "2", "--block-size", "16384",
+               "--profile", str(tmp_path / "trace")])
+    assert rc == 0
+    assert "Profiler trace written" in capsys.readouterr().out
+    assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_experiments_subcommand_help(capsys):
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as e:
+        main(["experiments", "--help"])
+    assert e.value.code == 0
