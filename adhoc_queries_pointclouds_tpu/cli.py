@@ -55,6 +55,16 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
         "--profile", metavar="DIR",
         help="Capture a jax.profiler trace of the query into DIR",
     )
+    parser.add_argument(
+        "--resident", action="store_true",
+        help="Load the dataset into device HBM once, then run the query "
+             "there (count queries; one dispatch per query)",
+    )
+    parser.add_argument(
+        "--repeat", type=int, default=1,
+        help="Run the query N times (interactive/serving simulation; "
+             "pairs with --resident)",
+    )
 
 
 def cmd_query(args: argparse.Namespace) -> int:
@@ -86,6 +96,9 @@ def cmd_query(args: argparse.Namespace) -> int:
     kwargs = {}
     if args.block_size:
         kwargs["block_size"] = args.block_size
+
+    if args.resident:
+        return _run_resident(args, plan)
 
     def execute():
         return run_query(
@@ -125,6 +138,40 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.stats:
         print(result.timer.report())
     print(throughput_line(result.total_file_bytes, result.elapsed_seconds))
+    return 0
+
+
+def _run_resident(args: argparse.Namespace, plan: QueryPlan) -> int:
+    import time
+
+    from .parallel.resident import ResidentDataset
+
+    if plan.collects_points:
+        print("--resident supports count queries only (for now)", file=sys.stderr)
+        return 1
+    t0 = time.perf_counter()
+    attrs = ("position",) if plan.bounds is not None else ("classification",)
+    ds = ResidentDataset.load(
+        args.input,
+        attrs=attrs,
+        block_size=args.block_size or (1 << 21),
+        workers=args.workers,
+    )
+    load_s = time.perf_counter() - t0
+    print(
+        f"Resident: {ds.total_points} points, "
+        f"{ds.resident_bytes / 1048576.0:.1f} MiB in HBM, loaded in {load_s:.2f}s"
+    )
+    count = ds.count(plan)  # warm (compile)
+    t0 = time.perf_counter()
+    for _ in range(args.repeat):
+        count = ds.count(plan)
+    per_query = (time.perf_counter() - t0) / max(args.repeat, 1)
+    print(f"Found {count} matching points")
+    print(
+        f"{args.repeat} queries at {per_query * 1e3:.2f} ms/query "
+        f"({ds.total_points / max(per_query, 1e-12) / 1e6:.0f} Mpts/s/query)"
+    )
     return 0
 
 
