@@ -21,7 +21,13 @@ import sys
 from pathlib import Path
 
 from .engine import run_query
-from .models.query import BoundsQuery, ClassQuery, DensityConfig, QueryPlan
+from .models.query import (
+    BoundsQuery,
+    ClassQuery,
+    DensityConfig,
+    QueryPlan,
+    TimeRangeQuery,
+)
 from .utils.aabb import parse_aabb
 from .utils.timing import throughput_line
 
@@ -30,6 +36,11 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-i", "--input", required=True, help="Input point cloud file or directory")
     parser.add_argument("--bounds", help='Bounding box "minX;minY;minZ;maxX;maxY;maxZ"')
     parser.add_argument("--class", dest="classification", type=int, help="LAS object class (u8)")
+    parser.add_argument(
+        "--time-range", dest="time_range",
+        help='GPS-time half-open range "start;end" (working version of the '
+             "reference's dead time-query stubs)",
+    )
     parser.add_argument("-o", "--output", help="Output directory for matching points (LAS)")
     parser.add_argument("--density", type=float, help="Maximum density: one point per X^3 m^3")
     parser.add_argument(
@@ -52,6 +63,10 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--workers", type=int, default=8, help="Host decode threads")
     parser.add_argument("--stats", action="store_true", help="Print per-stage timings")
     parser.add_argument(
+        "--keep-going", action="store_true",
+        help="Skip unreadable files instead of aborting (reference aborts)",
+    )
+    parser.add_argument(
         "--profile", metavar="DIR",
         help="Capture a jax.profiler trace of the query into DIR",
     )
@@ -70,14 +85,24 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
 def cmd_query(args: argparse.Namespace) -> int:
     maybe_bounds = parse_aabb(args.bounds) if args.bounds else None
     maybe_class = args.classification
-    if maybe_bounds is not None and maybe_class is not None:
+    maybe_time = None
+    if args.time_range:
+        parts = args.time_range.split(";")
+        if len(parts) != 2:
+            print('TIME-RANGE must be "start;end"', file=sys.stderr)
+            return 1
+        maybe_time = TimeRangeQuery(float(parts[0]), float(parts[1]))
+    n_predicates = sum(
+        p is not None for p in (maybe_bounds, maybe_class, maybe_time)
+    )
+    if n_predicates > 1:
         print(
             "Specifying BOUNDS and CLASS at the same time is invalid! "
             "Specify either BOUNDS or CLASS argument!",
             file=sys.stderr,
         )
         return 1
-    if maybe_bounds is None and maybe_class is None:
+    if n_predicates == 0:
         print(
             "Found neither BOUNDS nor CLASS argument but exactly one of these "
             "arguments is required!",
@@ -88,6 +113,7 @@ def cmd_query(args: argparse.Namespace) -> int:
     plan = QueryPlan(
         bounds=BoundsQuery(maybe_bounds) if maybe_bounds is not None else None,
         classification=ClassQuery(maybe_class) if maybe_class is not None else None,
+        time_range=maybe_time,
         density=DensityConfig(args.density, args.density_scope) if args.density else None,
         output_dir=Path(args.output) if args.output else None,
         print_points=args.print_points,
@@ -108,6 +134,7 @@ def cmd_query(args: argparse.Namespace) -> int:
             n_devices=args.devices,
             workers=args.workers,
             keep_hits=args.print_points,
+            keep_going=args.keep_going,
             **kwargs,
         )
 

@@ -172,7 +172,13 @@ def run_query(
     workers: int = 8,
     prefetch: int = 12,
     keep_hits: bool = False,
+    keep_going: bool = False,
 ) -> QueryResult:
+    """Run one query plan over a file or directory.
+
+    keep_going: skip unreadable files with a warning instead of aborting the
+    whole query (the reference aborts on any file error, main.rs:161-163).
+    """
     timer = StageTimer()
     files = discover_files(input_path)
     if not files:
@@ -180,7 +186,22 @@ def run_query(
     total_bytes = sum(f.stat().st_size for f in files)
 
     with timer.stage("open"):
-        readers = [open_point_cloud(f) for f in files]
+        if keep_going:
+            readers = []
+            kept = []
+            for f in files:
+                try:
+                    readers.append(open_point_cloud(f))
+                    kept.append(f)
+                except Exception as e:
+                    import sys
+
+                    print(f"warning: skipping {f}: {e}", file=sys.stderr)
+            files = kept
+            if not files:
+                raise FileNotFoundError(f"No readable point-cloud files under {input_path}")
+        else:
+            readers = [open_point_cloud(f) for f in files]
 
     # Clamp the block to the largest file: tiny files padded to a huge block
     # would waste device work (the density sort is O(block log block)).
@@ -194,6 +215,13 @@ def run_query(
 
     is_bounds = plan.bounds is not None
     query_bounds = plan.bounds.bounds if is_bounds else None
+
+    if plan.time_range is not None:
+        from .formats.las import has_gps_time
+
+        for f, r in zip(files, readers):
+            if not has_gps_time(r.header.point_format):
+                raise ValueError(f"File {f} does not contain GPS times!")
 
     # Per-file integer-domain bounds + header prefilter (las.rs:82-99).
     file_bounds: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -258,6 +286,7 @@ def _run_count(
     workers, prefetch, timer,
 ):
     is_bounds = plan.bounds is not None
+    is_time = plan.time_range is not None
     mesh = mesh_mod.make_mesh(n_devices)
     d = mesh.devices.size
 
@@ -267,6 +296,24 @@ def _run_count(
         for b in range((n + block_size - 1) // block_size):
             start = b * block_size
             tasks.append((i, b, start, min(start + block_size, n)))
+
+    if is_time:
+        # f64 GPS times: host-side predicate (TPUs have no f64); the decode
+        # pipeline still parallelizes across blocks. Half-open [start, end)
+        # like the reference's Range<f64> stub (las.rs:332-339).
+        t0, t1 = plan.time_range.start, plan.time_range.end
+        total = 0
+        with timer.stage("scan"):
+            def count_block(args):
+                file_idx, _b, start, stop = args
+                gps = readers[file_idx].column("gps_time", start, stop)
+                return int(np.count_nonzero((gps >= t0) & (gps < t1)))
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+                total = sum(pool.map(count_block, tasks))
+        return total, [], []
 
     if is_bounds:
         def load(file_idx, start, stop):
@@ -341,6 +388,7 @@ def _run_collect(
     block_size, workers, prefetch, timer, keep_hits,
 ):
     is_bounds = plan.bounds is not None
+    is_time = plan.time_range is not None
     dumper = _Dumper(plan.output_dir)
     all_hits: list[FileHits] = []
     total = 0
@@ -352,6 +400,13 @@ def _run_collect(
                 cols_dev["x"], cols_dev["y"], cols_dev["z"],
                 jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
             )
+        if is_time:
+            # host f64 predicate (no TPU f64); mask moves to device only
+            # when density needs it there
+            gps = task.columns["gps"]
+            m = (gps >= plan.time_range.start) & (gps < plan.time_range.end)
+            m[task.n_valid :] = False
+            return jnp.asarray(m)
         return predicate.class_mask(
             cols_dev["cls"],
             jnp.asarray(plan.classification.classification, jnp.int32),
@@ -369,7 +424,9 @@ def _run_collect(
             cols["x"] = np.ascontiguousarray(pos[:, 0])
             cols["y"] = np.ascontiguousarray(pos[:, 1])
             cols["z"] = np.ascontiguousarray(pos[:, 2])
-        if not is_bounds:
+        if is_time:
+            cols["gps"] = np.ascontiguousarray(r.column("gps_time", start, stop))
+        elif not is_bounds:
             cols["cls"] = np.ascontiguousarray(r.column("classification", start, stop))
         return cols
 

@@ -109,17 +109,19 @@ def _stats_row(name: str, runtimes: list[float]) -> str:
 
 
 def run_aabb_experiments(
-    in_path: Path, num_runs: int, dataset: str, *, cold: bool = True
+    in_path: Path, num_runs: int, dataset: str, *, cold: bool = True,
+    formats: tuple[str, ...] = FORMATS, sizes: tuple[str, ...] = ("s", "l", "xl"),
+    skip_density: bool = False,
 ) -> None:
     boxes = AABBS[dataset]
     density = DENSITIES[dataset]
-    for bounds_name in ("s", "l", "xl"):
+    for bounds_name in sizes:
         b = boxes[bounds_name]
         bounds_str = ";".join(
             str(v) for v in (*b.min, *b.max)
         )
-        for use_density in (False, True):
-            for ext in FORMATS:
+        for use_density in ((False,) if skip_density else (False, True)):
+            for ext in formats:
                 path = in_path / dataset / ext
                 label = (
                     f"{dataset}_{bounds_name}_{'lod' if use_density else 'full'}_{ext}"
@@ -133,10 +135,11 @@ def run_aabb_experiments(
 
 
 def run_class_experiments(
-    in_path: Path, num_runs: int, dataset: str, *, cold: bool = True
+    in_path: Path, num_runs: int, dataset: str, *, cold: bool = True,
+    formats: tuple[str, ...] = FORMATS,
 ) -> None:
     for class_name, class_value in CLASS_EXPERIMENTS:
-        for ext in FORMATS:
+        for ext in formats:
             path = in_path / dataset / ext
             label = f"{dataset}_{class_name}_{ext}"
             print(f"Experiment {label}...", file=sys.stderr)
@@ -191,6 +194,15 @@ def main(argv: list[str] | None = None) -> int:
         help="Generate a synthetic stand-in dataset of this size first",
     )
     parser.add_argument("--synthesize-files", type=int, default=4)
+    parser.add_argument(
+        "--formats", default=",".join(FORMATS),
+        help="Comma-separated subset of formats to run (default: all four)",
+    )
+    parser.add_argument(
+        "--sizes", default="s,l,xl",
+        help="Comma-separated subset of bbox sizes for experiments 1-3",
+    )
+    parser.add_argument("--skip-density", action="store_true")
     args = parser.parse_args(argv)
 
     if args.experiment not in EXPERIMENT_DATASETS:
@@ -208,10 +220,17 @@ def main(argv: list[str] | None = None) -> int:
         "with runtimes in seconds",
         file=sys.stderr,
     )
+    formats = tuple(f for f in args.formats.split(",") if f)
     if args.experiment <= 3:
-        run_aabb_experiments(root, args.runs, dataset, cold=not args.warm)
+        run_aabb_experiments(
+            root, args.runs, dataset, cold=not args.warm, formats=formats,
+            sizes=tuple(s for s in args.sizes.split(",") if s),
+            skip_density=args.skip_density,
+        )
     else:
-        run_class_experiments(root, args.runs, dataset, cold=not args.warm)
+        run_class_experiments(
+            root, args.runs, dataset, cold=not args.warm, formats=formats
+        )
     return 0
 
 

@@ -34,6 +34,25 @@ class ClassQuery:
 
 
 @dataclasses.dataclass(frozen=True)
+class TimeRangeQuery:
+    """GPS-time half-open range predicate: start <= t < end.
+
+    The reference only has dead stubs for this
+    (query/src/search/las.rs:297-367, `_search_las_file_by_time_range*`);
+    here it is a working query type. GPS times are f64, which TPUs lack, so
+    this predicate is evaluated on the host (vectorized numpy) — exact, and
+    still fed by the parallel decode pipeline.
+    """
+
+    start: float
+    end: float
+
+    def __post_init__(self):
+        if not self.start < self.end:
+            raise ValueError("time range start must be < end")
+
+
+@dataclasses.dataclass(frozen=True)
 class DensityConfig:
     """Max-density grid sampling (reference --density / SparseGrid).
 
@@ -65,6 +84,7 @@ class QueryPlan:
 
     bounds: BoundsQuery | None = None
     classification: ClassQuery | None = None
+    time_range: TimeRangeQuery | None = None
     density: DensityConfig | None = None
     output_dir: Path | None = None
     # Materialize and print matching points (reference StdOutCollector,
@@ -75,9 +95,12 @@ class QueryPlan:
     parity_quirk: bool = False
 
     def __post_init__(self):
-        if (self.bounds is None) == (self.classification is None):
+        n_predicates = sum(
+            p is not None for p in (self.bounds, self.classification, self.time_range)
+        )
+        if n_predicates != 1:
             raise ValueError(
-                "Specify either BOUNDS or CLASS argument (exactly one)"
+                "Specify exactly one of BOUNDS, CLASS, or TIME-RANGE"
             )
 
     @property
