@@ -289,6 +289,10 @@ def _run_count(
     is_time = plan.time_range is not None
     mesh = mesh_mod.make_mesh(n_devices)
     d = mesh.devices.size
+    # K blocks per chip per dispatch amortizes dispatch latency (expensive
+    # over the tunneled backend, cheap but nonzero on real hardware).
+    blocks_per_step = int(os.environ.get("AQPC_BLOCKS_PER_STEP", "4"))
+    rows_per_step = d * max(1, blocks_per_step)
 
     tasks = []
     for i in active:
@@ -346,7 +350,7 @@ def _run_count(
             total += int(pending.pop(0))
 
     def flush(batch):
-        pad = d - len(batch)
+        pad = rows_per_step - len(batch)
         if is_bounds:
             xs = np.stack([t.columns["x"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
             ys = np.stack([t.columns["y"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
@@ -360,7 +364,7 @@ def _run_count(
         else:
             cls_pad = np.zeros(block_size, np.uint8)
             clss = np.stack([t.columns["cls"] for t in batch] + [cls_pad] * pad)
-            targets = np.full(d, plan.classification.classification, np.int32)
+            targets = np.full(rows_per_step, plan.classification.classification, np.int32)
             nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
             pending.append(mesh_mod.sharded_class_count(mesh, clss, targets, nvs))
         drain(MAX_INFLIGHT_STEPS - 1)
@@ -368,7 +372,7 @@ def _run_count(
     with timer.stage("scan"):
         for task in feeder:
             batch.append(task)
-            if len(batch) == d:
+            if len(batch) == rows_per_step:
                 flush(batch)
                 batch = []
         if batch:

@@ -179,6 +179,137 @@ def class_count_pallas(cls, class_value, n_valid, *, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# multi-block kernels: K blocks with per-block bounds in ONE dispatch.
+# Streaming queries batch K blocks per chip per step, so dispatch latency
+# (30-40 ms per round trip on a tunneled TPU, ~10 us on local PCIe) is
+# amortized K-fold. Grid = (K, tiles-per-block); bounds/valid-counts ride
+# scalar prefetch in SMEM and are indexed by the block-grid coordinate.
+# ---------------------------------------------------------------------------
+
+
+def bbox_mask_jnp_multi(xs, ys, zs, los, his, nvs):
+    """(K, B) coords + (K, 3) bounds + (K,) valid -> (K, B) bool."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 1)
+    m = idx < nvs[:, None]
+    m &= (xs >= los[:, 0:1]) & (xs <= his[:, 0:1])
+    m &= (ys >= los[:, 1:2]) & (ys <= his[:, 1:2])
+    m &= (zs >= los[:, 2:3]) & (zs <= his[:, 2:3])
+    return m
+
+
+def bbox_count_jnp_multi(xs, ys, zs, los, his, nvs):
+    return jnp.sum(bbox_mask_jnp_multi(xs, ys, zs, los, his, nvs), axis=1, dtype=jnp.int32)
+
+
+def class_count_jnp_multi(cls, targets, nvs):
+    idx = jax.lax.broadcasted_iota(jnp.int32, cls.shape, 1)
+    m = (idx < nvs[:, None]) & (cls.astype(jnp.int32) == targets[:, None])
+    return jnp.sum(m, axis=1, dtype=jnp.int32)
+
+
+def _bbox_multi_kernel(bounds_ref, nvalid_ref, x_ref, y_ref, z_ref, out_ref):
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    gidx = (j * TILE_ROWS + row) * LANES + col
+    m = gidx < nvalid_ref[k]
+    x = x_ref[0]
+    m &= (x >= bounds_ref[k, 0]) & (x <= bounds_ref[k, 3])
+    y = y_ref[0]
+    m &= (y >= bounds_ref[k, 1]) & (y <= bounds_ref[k, 4])
+    z = z_ref[0]
+    m &= (z >= bounds_ref[k, 2]) & (z <= bounds_ref[k, 5])
+    partial = jnp.sum(m, dtype=jnp.int32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[k, 0] = partial
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[k, 0] += partial
+
+
+@jax.jit
+def bbox_count_pallas_multi(xs, ys, zs, los, his, nvs):
+    """(K, B) blocks with per-block bounds -> (K,) counts, one kernel."""
+    k_blocks, n = xs.shape
+    assert n % (TILE_ROWS * LANES) == 0, f"block size {n} not tile-aligned"
+    rows = n // LANES
+    tiles = rows // TILE_ROWS
+    bounds = jnp.concatenate([los.astype(jnp.int32), his.astype(jnp.int32)], axis=1)
+    nvalid = nvs.astype(jnp.int32)
+    x3 = xs.reshape(k_blocks, rows, LANES)
+    y3 = ys.reshape(k_blocks, rows, LANES)
+    z3 = zs.reshape(k_blocks, rows, LANES)
+    coord_spec = pl.BlockSpec(
+        (1, TILE_ROWS, LANES), lambda k, j, *_: (k, j, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _bbox_multi_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(k_blocks, tiles),
+            in_specs=[coord_spec, coord_spec, coord_spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_blocks, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=7 * k_blocks * n, bytes_accessed=12 * k_blocks * n, transcendentals=0
+        ),
+    )(bounds, nvalid, x3, y3, z3)
+    return out[:, 0]
+
+
+def _class_multi_kernel(targets_ref, nvalid_ref, cls_ref, out_ref):
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    gidx = (j * TILE_ROWS + row) * LANES + col
+    m = gidx < nvalid_ref[k]
+    m &= cls_ref[0].astype(jnp.int32) == targets_ref[k]
+    partial = jnp.sum(m, dtype=jnp.int32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[k, 0] = partial
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[k, 0] += partial
+
+
+@jax.jit
+def class_count_pallas_multi(cls, targets, nvs):
+    k_blocks, n = cls.shape
+    assert n % (TILE_ROWS * LANES) == 0, f"block size {n} not tile-aligned"
+    rows = n // LANES
+    tiles = rows // TILE_ROWS
+    cls3 = cls.reshape(k_blocks, rows, LANES)
+    out = pl.pallas_call(
+        _class_multi_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(k_blocks, tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, TILE_ROWS, LANES), lambda k, j, *_: (k, j, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_blocks, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * k_blocks * n, bytes_accessed=k_blocks * n, transcendentals=0
+        ),
+    )(targets.astype(jnp.int32), nvs.astype(jnp.int32), cls3)
+    return out[:, 0]
+
+
+# ---------------------------------------------------------------------------
 # dispatching wrappers with one-shot autotuning
 # ---------------------------------------------------------------------------
 

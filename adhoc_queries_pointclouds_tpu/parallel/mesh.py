@@ -51,12 +51,12 @@ def _block_impl(x) -> str:
 @functools.lru_cache(maxsize=8)
 def _bbox_count_fn(mesh: Mesh, impl: str):
     def per_device(x, y, z, lo, hi, nv):
-        # shapes here are the per-device shards: (1, B), (1, 3), (1,)
+        # per-device shards: (K, B) blocks, (K, 3) bounds, (K,) valid counts
         if impl == "pallas":
-            c = predicate.bbox_count_pallas(x[0], y[0], z[0], lo[0], hi[0], nv[0])
+            counts = predicate.bbox_count_pallas_multi(x, y, z, lo, hi, nv)
         else:
-            c = predicate.bbox_count_jnp(x[0], y[0], z[0], lo[0], hi[0], nv[0])
-        return jax.lax.psum(c, "d")
+            counts = predicate.bbox_count_jnp_multi(x, y, z, lo, hi, nv)
+        return jax.lax.psum(jnp.sum(counts, dtype=jnp.int32), "d")
 
     fn = shard_map(
         per_device,
@@ -72,10 +72,10 @@ def _bbox_count_fn(mesh: Mesh, impl: str):
 def _class_count_fn(mesh: Mesh, impl: str):
     def per_device(cls, target, nv):
         if impl == "pallas":
-            c = predicate.class_count_pallas(cls[0], target[0], nv[0])
+            counts = predicate.class_count_pallas_multi(cls, target, nv)
         else:
-            c = predicate.class_count_jnp(cls[0], target[0], nv[0])
-        return jax.lax.psum(c, "d")
+            counts = predicate.class_count_jnp_multi(cls, target, nv)
+        return jax.lax.psum(jnp.sum(counts, dtype=jnp.int32), "d")
 
     fn = shard_map(
         per_device,
@@ -88,8 +88,10 @@ def _class_count_fn(mesh: Mesh, impl: str):
 
 
 def sharded_bbox_count(mesh: Mesh, xs, ys, zs, los, his, nvalids, impl: str = "auto"):
-    """Count bbox hits across D blocks, one per device. All args stacked on
-    axis 0 with leading dim == mesh size. Returns a replicated int32 total."""
+    """Count bbox hits across D*K blocks, K per device per dispatch. All
+    args stacked on axis 0 with leading dim a multiple of the mesh size.
+    Returns a replicated int32 total (sum over this step's blocks only, so
+    it cannot overflow: K*B per chip stays far below 2^31)."""
     if impl == "auto":
         impl = _block_impl(xs)
     return _bbox_count_fn(mesh, impl)(xs, ys, zs, los, his, nvalids)

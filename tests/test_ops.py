@@ -212,3 +212,66 @@ class TestDensity:
         b[0] = (0, 0, 0.5, 0, 9)
         state = merge_winners_host(merge_winners_host(None, a, 0), b, 0)
         assert state["gidx"][0] == 9
+
+
+class TestMultiBlock:
+    def test_bbox_multi_jnp_vs_single(self):
+        from adhoc_queries_pointclouds_tpu.ops.predicate import (
+            bbox_count_jnp, bbox_count_jnp_multi,
+        )
+        import jax.numpy as jnp
+        rng = np.random.default_rng(8)
+        K, B = 3, 4096
+        xs = rng.integers(-2**30, 2**30, (K, B)).astype(np.int32)
+        ys = rng.integers(-2**30, 2**30, (K, B)).astype(np.int32)
+        zs = rng.integers(-2**30, 2**30, (K, B)).astype(np.int32)
+        los = rng.integers(-2**29, 0, (K, 3)).astype(np.int32)
+        his = rng.integers(0, 2**29, (K, 3)).astype(np.int32)
+        nvs = np.array([B, B - 100, 0], np.int32)
+        multi = np.asarray(bbox_count_jnp_multi(
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs),
+            jnp.asarray(los), jnp.asarray(his), jnp.asarray(nvs)))
+        for k in range(K):
+            single = int(bbox_count_jnp(
+                jnp.asarray(xs[k]), jnp.asarray(ys[k]), jnp.asarray(zs[k]),
+                jnp.asarray(los[k]), jnp.asarray(his[k]), jnp.asarray(nvs[k])))
+            assert multi[k] == single
+
+    def test_bbox_multi_pallas_interpret(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl  # noqa: F401
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        rng = np.random.default_rng(9)
+        K, B = 2, P.MIN_BLOCK_MULTIPLE
+        xs = rng.integers(-2**30, 2**30, (K, B)).astype(np.int32)
+        los = np.tile(np.array([-2**29, 0, -2**28], np.int32), (K, 1))
+        his = np.tile(np.array([2**29, 2**28, 2**27], np.int32), (K, 1))
+        nvs = np.array([B, B - 777], np.int32)
+        ref = np.asarray(P.bbox_count_jnp_multi(
+            jnp.asarray(xs), jnp.asarray(xs), jnp.asarray(xs),
+            jnp.asarray(los), jnp.asarray(his), jnp.asarray(nvs)))
+        # interpret-mode pallas multi kernel
+        import functools
+        with jax.disable_jit(False):
+            from jax.experimental.pallas import tpu as pltpu
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(P.bbox_count_pallas_multi(
+                    jnp.asarray(xs), jnp.asarray(xs), jnp.asarray(xs),
+                    jnp.asarray(los), jnp.asarray(his), jnp.asarray(nvs)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_class_multi_vs_oracle(self):
+        from adhoc_queries_pointclouds_tpu.ops.predicate import class_count_jnp_multi
+        import jax.numpy as jnp
+        rng = np.random.default_rng(10)
+        K, B = 4, 2048
+        cls = rng.integers(0, 8, (K, B)).astype(np.uint8)
+        targets = np.array([1, 6, 19, 3], np.int32)
+        nvs = np.array([B, B, B, 500], np.int32)
+        got = np.asarray(class_count_jnp_multi(
+            jnp.asarray(cls), jnp.asarray(targets), jnp.asarray(nvs)))
+        for k in range(K):
+            oracle = int(np.sum(cls[k, :nvs[k]] == targets[k]))
+            assert got[k] == oracle
