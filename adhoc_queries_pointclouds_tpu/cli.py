@@ -164,6 +164,10 @@ def cmd_query(args: argparse.Namespace) -> int:
     print(f"Found {result.match_count} matching points")
     if args.stats:
         print(result.timer.report())
+        print(
+            f"  scanned {result.points_scanned} points "
+            f"({result.mpts_per_s:.1f} Mpts/s)"
+        )
     print(throughput_line(result.total_file_bytes, result.elapsed_seconds))
     return 0
 

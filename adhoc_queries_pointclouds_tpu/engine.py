@@ -104,10 +104,15 @@ class QueryResult:
     elapsed_seconds: float
     timer: StageTimer
     files_searched: int
+    points_scanned: int = 0
 
     @property
     def throughput_mibs(self) -> float:
         return self.total_file_bytes / 1048576.0 / max(self.elapsed_seconds, 1e-12)
+
+    @property
+    def mpts_per_s(self) -> float:
+        return self.points_scanned / 1e6 / max(self.elapsed_seconds, 1e-12)
 
 
 def _gather_hits(reader, indices: np.ndarray, file_idx: int) -> FileHits:
@@ -262,6 +267,9 @@ def run_query(
             workers=workers, prefetch=prefetch, timer=timer,
         )
 
+    # points actually scanned = points of files that survived the header
+    # prefilter (skipped files cost only a header read)
+    points_scanned = sum(readers[i].point_count for i in active)
     for r in readers:
         r.close()
     match_count, hits, output_files = result
@@ -273,6 +281,7 @@ def run_query(
         elapsed_seconds=timer.elapsed(),
         timer=timer,
         files_searched=len(files),
+        points_scanned=points_scanned,
     )
 
 
@@ -454,8 +463,8 @@ def _run_collect(
 
             for task in feeder:
                 cols_dev = {k: jnp.asarray(v) for k, v in task.columns.items()}
-                mask = predicate_mask_dev(task, cols_dev)
                 if density is not None:
+                    mask = predicate_mask_dev(task, cols_dev)
                     winners = density_ops.block_grid_sample_masked(
                         cols_dev["x"], cols_dev["y"], cols_dev["z"],
                         mask, task.start, task.n_valid, params,
@@ -469,10 +478,44 @@ def _run_collect(
                             global_state, winners, file_idx
                         )
                 else:
-                    cnt = int(jnp.sum(mask))
+                    # pass 1: fused count (no mask materialized in HBM);
+                    # pass 2 only for blocks with hits (selective queries
+                    # skip most blocks entirely)
+                    nv = jnp.asarray(task.n_valid, jnp.int32)
+                    if is_bounds:
+                        cnt = int(predicate.bbox_count(
+                            cols_dev["x"], cols_dev["y"], cols_dev["z"],
+                            jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
+                        ))
+                    elif is_time:
+                        gps = task.columns["gps"][: task.n_valid]
+                        cnt = int(np.count_nonzero(
+                            (gps >= plan.time_range.start) & (gps < plan.time_range.end)
+                        ))
+                    else:
+                        cnt = int(predicate.class_count(
+                            cols_dev["cls"],
+                            jnp.asarray(plan.classification.classification, jnp.int32),
+                            nv,
+                        ))
                     if cnt:
                         cap = compact.pow2_bucket(cnt, block_size)
-                        idx, _ = compact.compact_indices(mask, cap=cap)
+                        if is_bounds:
+                            idx = compact.bbox_compact(
+                                cols_dev["x"], cols_dev["y"], cols_dev["z"],
+                                jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
+                                cap=cap,
+                            )
+                        elif is_time:
+                            mask = predicate_mask_dev(task, cols_dev)
+                            idx, _ = compact.compact_indices(mask, cap=cap)
+                        else:
+                            idx = compact.class_compact(
+                                cols_dev["cls"],
+                                jnp.asarray(plan.classification.classification, jnp.int32),
+                                nv,
+                                cap=cap,
+                            )
                         local = np.asarray(idx[:cnt], np.int64)
                         file_indices.append(local + task.start)
 

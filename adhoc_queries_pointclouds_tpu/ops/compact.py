@@ -51,3 +51,23 @@ def compact_gather(mask, values, *, cap: int):
     safe = jnp.minimum(idx, n - 1)
     taken = jnp.take(values, safe, axis=0)
     return taken, idx.astype(jnp.int32), jnp.sum(mask, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def bbox_compact(x, y, z, lo, hi, n_valid, *, cap: int):
+    """Fused bbox predicate + index compaction: one XLA pass from raw int32
+    coords to hit indices — the mask never materializes in HBM on its own."""
+    from .predicate import bbox_mask_jnp
+
+    mask = bbox_mask_jnp(x, y, z, lo, hi, n_valid)
+    (idx,) = jnp.nonzero(mask, size=cap, fill_value=x.shape[0])
+    return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def class_compact(cls, class_value, n_valid, *, cap: int):
+    from .predicate import class_mask_jnp
+
+    mask = class_mask_jnp(cls, class_value, n_valid)
+    (idx,) = jnp.nonzero(mask, size=cap, fill_value=cls.shape[0])
+    return idx.astype(jnp.int32)
