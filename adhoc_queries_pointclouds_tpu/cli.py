@@ -252,7 +252,7 @@ def main(argv: list[str] | None = None) -> int:
             pass
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    subcommands = ("query", "convert", "count-points", "experiments", "postgis")
+    subcommands = ("query", "convert", "count-points", "experiments", "postgis", "serve")
     # Bare reference-style invocation: `query -i ... --bounds ...`
     if argv and argv[0] not in subcommands + ("-h", "--help"):
         argv = ["query"] + argv
@@ -285,6 +285,10 @@ def main(argv: list[str] | None = None) -> int:
         from .postgis import main as pg_main
 
         return pg_main(argv[1:])
+    if argv and argv[0] == "serve":
+        from .serve import main as serve_main
+
+        return serve_main(argv[1:])
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,127 @@
+"""Interactive / service mode: resident dataset + JSON query protocol.
+
+`aqpc serve -i DATASET` loads the dataset's SoA columns into device HBM once
+(parallel/resident.py) and then answers ad-hoc queries from stdin, one JSON
+object per line, one JSON reply per line — each count query is a single
+device dispatch against resident data. This is the serving story the
+reference's batch CLI has no analog for: its cold-cache protocol pays disk +
+decode on every query; here query latency is dispatch + scan only.
+
+Request lines:
+  {"bounds": [minx, miny, minz, maxx, maxy, maxz]}
+  {"class": 6}
+  {"cmd": "info"}        -> dataset stats
+  {"cmd": "quit"}
+
+Replies:
+  {"count": N, "ms": 12.3}
+  {"error": "..."}
+
+Queries needing collection/density fall back to the streaming engine
+(slower; noted in the reply as "path": "streaming").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+from .models.query import BoundsQuery, ClassQuery, DensityConfig, QueryPlan
+from .parallel.resident import ResidentDataset
+from .utils.aabb import AABB
+
+
+def handle_request(ds: ResidentDataset, req: dict, input_path: str) -> dict:
+    if req.get("cmd") == "info":
+        return {
+            "files": [str(f) for f in ds.files],
+            "points": ds.total_points,
+            "resident_mib": round(ds.resident_bytes / 1048576.0, 1),
+            "blocks": ds.n_blocks,
+            "devices": int(ds.mesh.devices.size),
+        }
+    try:
+        if "bounds" in req:
+            v = [float(x) for x in req["bounds"]]
+            if len(v) != 6:
+                return {"error": "bounds must have 6 numbers"}
+            plan = QueryPlan(
+                bounds=BoundsQuery(AABB(tuple(v[:3]), tuple(v[3:]))),
+                density=DensityConfig(float(req["density"])) if "density" in req else None,
+            )
+        elif "class" in req:
+            plan = QueryPlan(
+                classification=ClassQuery(int(req["class"])),
+                density=DensityConfig(float(req["density"])) if "density" in req else None,
+            )
+        else:
+            return {"error": "request needs 'bounds', 'class', or 'cmd'"}
+    except (ValueError, TypeError) as e:
+        return {"error": str(e)}
+
+    t0 = time.perf_counter()
+    try:
+        if plan.collects_points:
+            from .engine import run_query
+
+            res = run_query(input_path, plan)
+            return {
+                "count": res.match_count,
+                "ms": round((time.perf_counter() - t0) * 1e3, 2),
+                "path": "streaming",
+            }
+        count = ds.count(plan)
+        return {"count": count, "ms": round((time.perf_counter() - t0) * 1e3, 2)}
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="aqpc-serve", description="Resident-dataset query service (JSON lines)"
+    )
+    parser.add_argument("-i", "--input", required=True)
+    parser.add_argument("--block-size", type=int, default=1 << 21)
+    parser.add_argument("--workers", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    t0 = time.perf_counter()
+    ds = ResidentDataset.load(
+        args.input,
+        attrs=("position", "classification"),
+        block_size=args.block_size,
+        workers=args.workers,
+    )
+    print(
+        json.dumps(
+            {
+                "ready": True,
+                "points": ds.total_points,
+                "resident_mib": round(ds.resident_bytes / 1048576.0, 1),
+                "load_s": round(time.perf_counter() - t0, 2),
+            }
+        ),
+        flush=True,
+    )
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"error": f"bad json: {e}"}), flush=True)
+            continue
+        if req.get("cmd") == "quit":
+            print(json.dumps({"bye": True}), flush=True)
+            return 0
+        print(json.dumps(handle_request(ds, req, args.input)), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
