@@ -228,7 +228,6 @@ def cmd_convert(args: argparse.Namespace) -> int:
 def cmd_count_points(args: argparse.Namespace) -> int:
     """Header-only dataset point count (bin/count_points.rs:66-79)."""
     from .engine import discover_files
-    from .formats import open_point_cloud
     from .formats.las import parse_las_header
 
     total = 0

@@ -42,7 +42,7 @@ from .formats import is_valid_file, open_point_cloud, write_las
 from .models.query import QueryPlan
 from .ops import compact, density as density_ops, predicate
 from .parallel import mesh as mesh_mod
-from .parallel.pipeline import BlockFeeder, make_block_tasks
+from .parallel.pipeline import BlockFeeder
 from .utils.aabb import AABB, clamp_bounds_to_i32, local_query_bounds
 from .utils.timing import StageTimer
 

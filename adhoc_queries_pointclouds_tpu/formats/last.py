@@ -29,7 +29,6 @@ from .las import (
     COLOR_OFFSET,
     GPS_TIME_OFFSET,
     LasHeader,
-    classification_offset,
     has_nir,
     is_extended_format,
     parse_las_header,

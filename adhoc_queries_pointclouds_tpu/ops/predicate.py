@@ -339,8 +339,6 @@ def autotune_impl() -> str:
         return "jnp"
     import time
 
-    import numpy as np
-
     n = MIN_BLOCK_MULTIPLE
     iters = 8
     key = jax.random.PRNGKey(0)

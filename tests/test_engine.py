@@ -257,3 +257,26 @@ class TestDiscovery:
             QueryPlan(
                 bounds=BoundsQuery(QUERY_BOX), classification=ClassQuery(1)
             )  # both
+
+
+class TestExtendedFormats:
+    """Engine end-to-end on extended point formats (6-10) and format 1."""
+
+    @pytest.mark.parametrize("fmt,exts", [(1, ("las", "last", "lazer", "laz")),
+                                          (7, ("las", "last", "lazer"))])
+    def test_bbox_and_class_parity(self, tmp_path, fmt, exts):
+        files = synth.write_dataset(
+            tmp_path, n_files=2, points_per_file=15_000, seed=50 + fmt,
+            formats=exts, point_format=fmt,
+        )
+        box = AABB((100200.0, 200300.0, 10.0), (100900.0, 200900.0, 70.0))
+        bbox_oracle = oracle_bbox_count(files[exts[0]], box)
+        class_oracle = oracle_class_count(files[exts[0]], 6)
+        assert bbox_oracle > 0 and class_oracle > 0
+        for ext in exts:
+            res = run_query(tmp_path / ext, QueryPlan(bounds=BoundsQuery(box)),
+                            block_size=BLOCK)
+            assert res.match_count == bbox_oracle, f"bbox {ext} fmt{fmt}"
+            res = run_query(tmp_path / ext, QueryPlan(classification=ClassQuery(6)),
+                            block_size=BLOCK)
+            assert res.match_count == class_oracle, f"class {ext} fmt{fmt}"
