@@ -67,6 +67,10 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
         help="Skip unreadable files instead of aborting (reference aborts)",
     )
     parser.add_argument(
+        "--no-index", action="store_true",
+        help="Ignore block min/max sidecar indexes (pure brute-force scan)",
+    )
+    parser.add_argument(
         "--profile", metavar="DIR",
         help="Capture a jax.profiler trace of the query into DIR",
     )
@@ -135,6 +139,7 @@ def cmd_query(args: argparse.Namespace) -> int:
             workers=args.workers,
             keep_hits=args.print_points,
             keep_going=args.keep_going,
+            use_index=not args.no_index,
             **kwargs,
         )
 
@@ -225,6 +230,21 @@ def cmd_convert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Build block min/max sidecar indexes (improvements.md:3-10 realized)."""
+    from .engine import discover_files
+    from .formats import open_point_cloud
+    from .index import build_index, save_index
+
+    for f in discover_files(args.input):
+        r = open_point_cloud(f)
+        blocks = build_index(r)
+        p = save_index(f, blocks, n_points=r.point_count)
+        print(f"Indexed {f} -> {p} ({len(blocks)} blocks)")
+        r.close()
+    return 0
+
+
 def cmd_count_points(args: argparse.Namespace) -> int:
     """Header-only dataset point count (bin/count_points.rs:66-79)."""
     from .engine import discover_files
@@ -251,7 +271,9 @@ def main(argv: list[str] | None = None) -> int:
             pass
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    subcommands = ("query", "convert", "count-points", "experiments", "postgis", "serve")
+    subcommands = (
+        "query", "convert", "count-points", "experiments", "postgis", "serve", "index",
+    )
     # Bare reference-style invocation: `query -i ... --bounds ...`
     if argv and argv[0] not in subcommands + ("-h", "--help"):
         argv = ["query"] + argv
@@ -275,6 +297,10 @@ def main(argv: list[str] | None = None) -> int:
     np_ = sub.add_parser("count-points", help="Header-only total point count")
     np_.add_argument("-i", "--input", required=True)
     np_.set_defaults(fn=cmd_count_points)
+
+    ix = sub.add_parser("index", help="Build block min/max sidecar indexes")
+    ix.add_argument("-i", "--input", required=True)
+    ix.set_defaults(fn=cmd_index)
 
     if argv and argv[0] == "experiments":
         from .experiments import main as exp_main

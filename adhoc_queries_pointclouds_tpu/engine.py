@@ -178,6 +178,7 @@ def run_query(
     prefetch: int = 12,
     keep_hits: bool = False,
     keep_going: bool = False,
+    use_index: bool = True,
 ) -> QueryResult:
     """Run one query plan over a file or directory.
 
@@ -254,17 +255,31 @@ def run_query(
     else:
         grid = None
 
+    # Optional block min/max sidecar index (the reference's improvements.md
+    # "on-the-fly index building" idea): classify each engine block as
+    # disjoint / contained / partial against the integer query box. Exact
+    # results are preserved — the index only removes work.
+    file_indices_meta: dict[int, tuple[int, np.ndarray]] = {}
+    if use_index and is_bounds:
+        from . import index as index_mod
+
+        for i in active:
+            info = index_mod.load_index(files[i])
+            if info is not None:
+                file_indices_meta[i] = info
+
     if plan.collects_points:
         result = _run_collect(
             plan, files, readers, active, file_bounds, grid,
             block_size=block_size, workers=workers, prefetch=prefetch,
-            timer=timer, keep_hits=keep_hits,
+            timer=timer, keep_hits=keep_hits, block_index=file_indices_meta,
         )
     else:
         result = _run_count(
             plan, readers, active, file_bounds,
             block_size=block_size, impl=impl, n_devices=n_devices,
             workers=workers, prefetch=prefetch, timer=timer,
+            block_index=file_indices_meta,
         )
 
     # points actually scanned = points of files that survived the header
@@ -292,7 +307,7 @@ def run_query(
 
 def _run_count(
     plan, readers, active, file_bounds, *, block_size, impl, n_devices,
-    workers, prefetch, timer,
+    workers, prefetch, timer, block_index=None,
 ):
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
@@ -302,13 +317,33 @@ def _run_count(
     # over the tunneled backend, cheap but nonzero on real hardware).
     blocks_per_step = int(os.environ.get("AQPC_BLOCKS_PER_STEP", "4"))
     rows_per_step = d * max(1, blocks_per_step)
+    block_index = block_index or {}
+
+    from .index import CONTAINED, DISJOINT, classify_block
 
     tasks = []
+    indexed_total = 0  # points of CONTAINED blocks: counted with zero IO
+    skipped_blocks = contained_blocks = 0
     for i in active:
         n = readers[i].point_count
+        idx_info = block_index.get(i) if is_bounds else None
         for b in range((n + block_size - 1) // block_size):
             start = b * block_size
-            tasks.append((i, b, start, min(start + block_size, n)))
+            stop = min(start + block_size, n)
+            if idx_info is not None:
+                lo, hi = file_bounds[i]
+                cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+                if cls == DISJOINT:
+                    skipped_blocks += 1
+                    continue
+                if cls == CONTAINED:
+                    indexed_total += stop - start
+                    contained_blocks += 1
+                    continue
+            tasks.append((i, b, start, stop))
+    if skipped_blocks or contained_blocks:
+        timer.counts["index_skipped_blocks"] += skipped_blocks
+        timer.counts["index_contained_blocks"] += contained_blocks
 
     if is_time:
         # f64 GPS times: host-side predicate (TPUs have no f64); the decode
@@ -350,7 +385,7 @@ def _run_count(
     )
 
     pending: list = []
-    total = 0
+    total = indexed_total  # CONTAINED blocks already counted, zero IO
     batch = []
 
     def drain(limit: int):
@@ -398,7 +433,7 @@ def _run_count(
 
 def _run_collect(
     plan, files, readers, active, file_bounds, grid, *,
-    block_size, workers, prefetch, timer, keep_hits,
+    block_size, workers, prefetch, timer, keep_hits, block_index=None,
 ):
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
@@ -445,20 +480,39 @@ def _run_collect(
 
     global_state: np.ndarray | None = None
 
+    from .index import CONTAINED, DISJOINT, classify_block
+
+    block_index = block_index or {}
+
     with timer.stage("scan"):
         for file_idx in active:
             r = readers[file_idx]
             n = r.point_count
-            tasks = [
-                (file_idx, b, b * block_size, min((b + 1) * block_size, n))
-                for b in range((n + block_size - 1) // block_size)
-            ]
+            file_state: np.ndarray | None = None
+            file_indices: list[np.ndarray] = []
+
+            idx_info = block_index.get(file_idx) if is_bounds else None
+            tasks = []
+            for b in range((n + block_size - 1) // block_size):
+                start = b * block_size
+                stop = min(start + block_size, n)
+                if idx_info is not None:
+                    lo, hi = file_bounds[file_idx]
+                    cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+                    if cls == DISJOINT:
+                        timer.counts["index_skipped_blocks"] += 1
+                        continue
+                    if cls == CONTAINED and density is None:
+                        # every point in the block matches: no device pass
+                        file_indices.append(np.arange(start, stop, dtype=np.int64))
+                        timer.counts["index_contained_blocks"] += 1
+                        continue
+                tasks.append((file_idx, b, start, stop))
+
             feeder = BlockFeeder(
                 tasks, load, block_size,
                 file_bounds=file_bounds, workers=workers, prefetch=prefetch,
             )
-            file_state: np.ndarray | None = None
-            file_indices: list[np.ndarray] = []
             params = grid.device_params(r.header.scale, r.header.offset) if grid else None
 
             for task in feeder:
@@ -521,7 +575,9 @@ def _run_collect(
 
             if density is None:
                 idxs = (
-                    np.concatenate(file_indices)
+                    # sorted -> hits come out in file order, like the
+                    # reference's sequential collector pushes
+                    np.sort(np.concatenate(file_indices))
                     if file_indices
                     else np.empty(0, np.int64)
                 )

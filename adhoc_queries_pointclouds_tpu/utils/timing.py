@@ -40,6 +40,9 @@ class StageTimer:
             if self.bytes[name]:
                 extra = f", {self.bytes[name] / 1048576.0 / max(s, 1e-12):.1f} MiB/s"
             lines.append(f"  {name}: {s:.3f}s x{self.counts[name]}{extra}")
+        for name in sorted(self.counts):
+            if name not in self.seconds:
+                lines.append(f"  {name}: {self.counts[name]}")
         return "\n".join(lines)
 
 

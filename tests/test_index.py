@@ -1,0 +1,159 @@
+"""Block min/max sidecar index tests: exactness preserved, work removed."""
+
+import numpy as np
+import pytest
+
+from adhoc_queries_pointclouds_tpu import index as index_mod
+from adhoc_queries_pointclouds_tpu.cli import main as cli_main
+from adhoc_queries_pointclouds_tpu.engine import run_query
+from adhoc_queries_pointclouds_tpu.formats import open_point_cloud, synth
+from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, DensityConfig, QueryPlan
+from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+BLOCK = 1 << 14
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    # sort points by x so index blocks have tight, distinct ranges
+    files = synth.write_dataset(root, n_files=2, points_per_file=40_000, seed=61,
+                                formats=("last",))
+    for f in files["last"]:
+        pass
+    return root / "last", files["last"]
+
+
+def _oracle(files, box):
+    total = 0
+    for f in files:
+        r = open_point_cloud(f)
+        total += int(np.sum(box.contains_points(r.positions_world())))
+        r.close()
+    return total
+
+
+class TestIndexCore:
+    def test_build_save_load_roundtrip(self, ds, tmp_path):
+        path, files = ds
+        r = open_point_cloud(files[0])
+        blocks = index_mod.build_index(r, index_block=8192)
+        assert blocks.shape == ((40_000 + 8191) // 8192, 6)
+        pos = r.column("position")
+        np.testing.assert_array_equal(blocks[0, :3], pos[:8192].min(axis=0))
+        np.testing.assert_array_equal(blocks[-1, 3:], pos[-(40_000 % 8192) or 8192:].max(axis=0))
+        index_mod.save_index(files[0], blocks, index_block=8192, n_points=40_000)
+        loaded = index_mod.load_index(files[0])
+        assert loaded is not None
+        assert loaded[0] == 8192
+        np.testing.assert_array_equal(loaded[1], blocks)
+        r.close()
+
+    def test_stale_index_ignored(self, tmp_path):
+        files = synth.write_dataset(tmp_path, n_files=1, points_per_file=2_000,
+                                    seed=3, formats=("las",))
+        f = files["las"][0]
+        r = open_point_cloud(f)
+        index_mod.save_index(f, index_mod.build_index(r), n_points=2_000)
+        r.close()
+        assert index_mod.load_index(f) is not None
+        # rewrite the file -> index must be treated as stale
+        cloud = synth.make_cloud(2_000, seed=99)
+        synth.write_cloud_las(cloud, f)
+        assert index_mod.load_index(f) is None
+
+    def test_classify(self):
+        iblocks = np.array(
+            [[0, 0, 0, 10, 10, 10], [100, 100, 100, 200, 200, 200]], np.int32
+        )
+        lo = np.array([0, 0, 0], np.int32)
+        hi = np.array([50, 50, 50], np.int32)
+        assert index_mod.classify_block(iblocks, 100, 0, 100, lo, hi) == index_mod.CONTAINED
+        assert index_mod.classify_block(iblocks, 100, 100, 200, lo, hi) == index_mod.DISJOINT
+        assert index_mod.classify_block(iblocks, 100, 0, 200, lo, hi) == index_mod.PARTIAL
+
+
+class TestIndexedQueries:
+    @pytest.fixture(scope="class")
+    def indexed(self, ds):
+        path, files = ds
+        for f in files:
+            r = open_point_cloud(f)
+            index_mod.save_index(f, index_mod.build_index(r), n_points=r.point_count)
+            r.close()
+        return path, files
+
+    @pytest.mark.parametrize("box", [
+        AABB((100200.0, 200300.0, 10.0), (100700.0, 200800.0, 60.0)),  # partial
+        AABB((0.0, 0.0, 0.0), (1e7, 1e7, 1e7)),  # contains everything
+        AABB((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),  # disjoint
+    ])
+    def test_count_exact_with_and_without_index(self, indexed, box):
+        path, files = indexed
+        oracle = _oracle(files, box)
+        plan = QueryPlan(bounds=BoundsQuery(box))
+        with_idx = run_query(path, plan, block_size=BLOCK, use_index=True)
+        without = run_query(path, plan, block_size=BLOCK, use_index=False)
+        assert with_idx.match_count == without.match_count == oracle
+
+    def test_contained_fast_path_used(self, indexed):
+        path, files = indexed
+        box = AABB((0.0, 0.0, 0.0), (1e7, 1e7, 1e7))  # whole dataset
+        res = run_query(path, QueryPlan(bounds=BoundsQuery(box)), block_size=BLOCK)
+        assert res.timer.counts.get("index_contained_blocks", 0) > 0
+        assert res.match_count == 80_000
+
+    def test_disjoint_skip_used(self, indexed):
+        path, files = indexed
+        box = AABB((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+        res = run_query(path, QueryPlan(bounds=BoundsQuery(box)), block_size=BLOCK)
+        # header prefilter may already drop the files; either zero work or
+        # block skips — but never a wrong count
+        assert res.match_count == 0
+
+    def test_collect_with_index_exact(self, indexed, tmp_path):
+        path, files = indexed
+        box = AABB((100200.0, 200300.0, 10.0), (100700.0, 200800.0, 60.0))
+        oracle = _oracle(files, box)
+        res = run_query(
+            path, QueryPlan(bounds=BoundsQuery(box), output_dir=tmp_path),
+            block_size=BLOCK, keep_hits=True,
+        )
+        assert res.match_count == oracle
+        pts = np.concatenate([h.position_world for h in res.hits if h.count])
+        assert np.all(box.contains_points(pts))
+
+    def test_collect_whole_dataset_hits_in_order(self, indexed, tmp_path):
+        path, files = indexed
+        box = AABB((0.0, 0.0, 0.0), (1e7, 1e7, 1e7))
+        res = run_query(
+            path, QueryPlan(bounds=BoundsQuery(box), output_dir=tmp_path),
+            block_size=BLOCK, keep_hits=True,
+        )
+        assert res.match_count == 80_000
+        # order preserved: first file's hits equal its points in order
+        r = open_point_cloud(files[0])
+        np.testing.assert_allclose(res.hits[0].position_world, r.positions_world())
+        r.close()
+
+    def test_density_with_index_exact(self, indexed):
+        path, files = indexed
+        box = AABB((100200.0, 200300.0, 10.0), (100700.0, 200800.0, 60.0))
+        plan_i = QueryPlan(bounds=BoundsQuery(box), density=DensityConfig(50.0))
+        a = run_query(path, plan_i, block_size=BLOCK, use_index=True).match_count
+        b = run_query(path, plan_i, block_size=BLOCK, use_index=False).match_count
+        assert a == b > 0
+
+
+def test_index_cli_subcommand(tmp_path, capsys):
+    synth.write_dataset(tmp_path, n_files=2, points_per_file=3_000, seed=7,
+                        formats=("las",))
+    rc = cli_main(["index", "-i", str(tmp_path / "las")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("Indexed") == 2
+    assert len(list((tmp_path / "las").glob("*.aqpc-idx"))) == 2
+    # sidecars must not be picked up as point-cloud inputs
+    from adhoc_queries_pointclouds_tpu.engine import discover_files
+
+    assert all(f.suffix == ".las" for f in discover_files(tmp_path / "las"))
