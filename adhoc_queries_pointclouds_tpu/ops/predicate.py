@@ -27,7 +27,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE_ROWS = 1024  # 1024x128 i32 = 512 KiB per coord tile in VMEM
+# 2048x128 i32 = 1 MiB per coord tile; x3 coords x2 pipeline buffers = 6 MiB
+# of VMEM (16 MiB budget). Swept on v5e: 2048 rows beat 512/1024/4096 by
+# ~10%, and 8192 exceeds the scoped-vmem limit.
+TILE_ROWS = 2048
 MIN_BLOCK_MULTIPLE = TILE_ROWS * LANES  # engine pads blocks to this
 
 
