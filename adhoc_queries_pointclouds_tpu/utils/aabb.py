@@ -127,20 +127,35 @@ def local_query_bounds(
         )
         return lo, hi
 
+    def exact_lo(w: float, s: float, o: float) -> int:
+        """Smallest integer q with o + s*q >= w under exact f64 semantics.
+
+        ceil((w-o)/s) can be off by one ulp either way because the division
+        is inexact; refine against the f64 predicate the oracle (and any
+        f64 reader) actually evaluates: world(q) = o + s*q.
+        """
+        q = math.ceil((w - o) / s)
+        while o + s * q < w:  # q still below the box: move up
+            q += 1
+        while o + s * (q - 1) >= w:  # q-1 already inside: move down
+            q -= 1
+        return q
+
+    def exact_hi(w: float, s: float, o: float) -> int:
+        """Largest integer q with o + s*q <= w under exact f64 semantics."""
+        q = math.floor((w - o) / s)
+        while o + s * q > w:
+            q -= 1
+        while o + s * (q + 1) <= w:
+            q += 1
+        return q
+
     lo = np.array(
-        [
-            math.ceil((wmin[0] - ox) / sx),
-            math.ceil((wmin[1] - oy) / sy),
-            math.ceil((wmin[2] - oz) / sz),
-        ],
+        [exact_lo(wmin[i], s, o) for i, (s, o) in enumerate(((sx, ox), (sy, oy), (sz, oz)))],
         dtype=np.int64,
     )
     hi = np.array(
-        [
-            math.floor((wmax[0] - ox) / sx),
-            math.floor((wmax[1] - oy) / sy),
-            math.floor((wmax[2] - oz) / sz),
-        ],
+        [exact_hi(wmax[i], s, o) for i, (s, o) in enumerate(((sx, ox), (sy, oy), (sz, oz)))],
         dtype=np.int64,
     )
     return lo, hi

@@ -1,0 +1,167 @@
+"""Property tests (SURVEY §4 rebuild implication): random AABBs vs the NumPy
+f64 oracle across formats, concurrent-query thread safety, and the
+world->local conversion semantics (correct mode vs reference parity quirk)."""
+
+import concurrent.futures
+
+import numpy as np
+import pytest
+
+from adhoc_queries_pointclouds_tpu.engine import run_query
+from adhoc_queries_pointclouds_tpu.formats import open_point_cloud, synth
+from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, ClassQuery, QueryPlan
+from adhoc_queries_pointclouds_tpu.utils.aabb import AABB, local_query_bounds
+
+BLOCK = 1 << 14
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("prop")
+    files = synth.write_dataset(
+        root, n_files=2, points_per_file=20_000, seed=71,
+        formats=("las", "last", "lazer", "laz"),
+    )
+    worlds = []
+    for p in files["las"]:
+        r = open_point_cloud(p)
+        worlds.append(r.positions_world())
+        r.close()
+    return root, files, worlds
+
+
+class TestRandomAabbs:
+    def test_twenty_random_boxes_all_formats(self, ds):
+        root, files, worlds = ds
+        rng = np.random.default_rng(0)
+        total = np.concatenate(worlds)
+        tmin, tmax = total.min(axis=0), total.max(axis=0)
+        span = tmax - tmin
+        for trial in range(20):
+            a = tmin + rng.random(3) * span
+            b = tmin + rng.random(3) * span
+            box = AABB(tuple(np.minimum(a, b)), tuple(np.maximum(a, b)))
+            oracle = sum(int(np.sum(box.contains_points(w))) for w in worlds)
+            plan = QueryPlan(bounds=BoundsQuery(box))
+            # las is the canonical check every trial; other formats sampled
+            got = run_query(root / "las", plan, block_size=BLOCK).match_count
+            assert got == oracle, f"trial {trial} las: {got} != {oracle}"
+            if trial % 5 == 0:
+                for fmt in ("last", "lazer", "laz"):
+                    got_f = run_query(root / fmt, plan, block_size=BLOCK).match_count
+                    assert got_f == oracle, f"trial {trial} {fmt}"
+
+    def test_degenerate_boxes(self, ds):
+        root, files, worlds = ds
+        w0 = worlds[0]
+        # a zero-volume box exactly on one point's coordinates (grid-aligned
+        # world values -> representable in f64)
+        p = w0[1234]
+        box = AABB(tuple(p), tuple(p))
+        oracle = sum(int(np.sum(box.contains_points(w))) for w in worlds)
+        got = run_query(
+            root / "last", QueryPlan(bounds=BoundsQuery(box)), block_size=BLOCK
+        ).match_count
+        assert got == oracle >= 1
+
+
+class TestConcurrency:
+    def test_parallel_queries_are_isolated(self, ds):
+        """Concurrent run_query calls (shared jit caches, separate readers)
+        return the same counts as sequential ones — the thread-safety test
+        the reference leaves to rayon's closure purity (SURVEY §5)."""
+        root, files, worlds = ds
+        rng = np.random.default_rng(1)
+        total = np.concatenate(worlds)
+        tmin, tmax = total.min(axis=0), total.max(axis=0)
+        span = tmax - tmin
+        boxes = []
+        for _ in range(8):
+            a = tmin + rng.random(3) * span
+            b = tmin + rng.random(3) * span
+            boxes.append(AABB(tuple(np.minimum(a, b)), tuple(np.maximum(a, b))))
+        oracles = [
+            sum(int(np.sum(box.contains_points(w))) for w in worlds) for box in boxes
+        ]
+
+        def q(box):
+            return run_query(
+                root / "lazer", QueryPlan(bounds=BoundsQuery(box)), block_size=BLOCK
+            ).match_count
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            got = list(pool.map(q, boxes))
+        assert got == oracles
+
+
+class TestConversionSemantics:
+    def test_correct_mode_closed_box(self):
+        # scale 0.5, offset 0: integer coord q maps to world 0.5*q.
+        # world box [0.25, 1.75] contains raw coords {1, 2, 3} -> lo=1, hi=3
+        lo, hi = local_query_bounds(
+            AABB((0.25,) * 3, (1.75,) * 3), (0.5,) * 3, (0.0,) * 3
+        )
+        assert lo.tolist() == [1, 1, 1]
+        assert hi.tolist() == [3, 3, 3]
+
+    def test_quirk_mode_truncates_and_uses_x_scale(self):
+        # negative min corner: correct = ceil(-1.5) = -1... with scale 1:
+        # world min -1.5 -> trunc() = -1 in quirk mode too; but -1.5/0.5 = -3
+        # exactly, so use a case where floor/trunc differ: min = -1.3
+        box = AABB((-1.3, -1.3, -1.3), (1.3, 1.3, 1.3))
+        lo_c, hi_c = local_query_bounds(box, (1.0,) * 3, (0.0,) * 3)
+        assert lo_c.tolist() == [-1, -1, -1]  # ceil(-1.3) = -1
+        assert hi_c.tolist() == [1, 1, 1]  # floor(1.3) = 1
+        lo_q, hi_q = local_query_bounds(
+            box, (1.0,) * 3, (0.0,) * 3, parity_quirk=True
+        )
+        assert lo_q.tolist() == [-1, -1, -1]  # trunc(-1.3) = -1 (same here)
+        # where they differ: min = -2.7 -> ceil = -2, trunc = -2 ... use
+        # positive min: 2.7 -> ceil = 3, trunc = 2 (reference admits point 2!)
+        box2 = AABB((2.7,) * 3, (5.0,) * 3)
+        lo_c2, _ = local_query_bounds(box2, (1.0,) * 3, (0.0,) * 3)
+        lo_q2, _ = local_query_bounds(box2, (1.0,) * 3, (0.0,) * 3, parity_quirk=True)
+        assert lo_c2[0] == 3  # correct closed box: 2.0 < 2.7, excluded
+        assert lo_q2[0] == 2  # reference truncation admits raw coord 2
+
+    def test_quirk_mode_min_corner_x_scale_bug(self):
+        # per-axis scales differ: reference divides the min corner's y/z by
+        # the X scale (las.rs:91-92)
+        box = AABB((10.0, 10.0, 10.0), (20.0, 20.0, 20.0))
+        scale = (1.0, 2.0, 4.0)
+        lo_q, hi_q = local_query_bounds(box, scale, (0.0,) * 3, parity_quirk=True)
+        assert lo_q.tolist() == [10, 10, 10]  # y,z divided by x_scale=1.0
+        assert hi_q.tolist() == [20, 10, 5]  # max corner uses its own scales
+        lo_c, hi_c = local_query_bounds(box, scale, (0.0,) * 3)
+        assert lo_c.tolist() == [10, 5, 3]  # ceil(10/2)=5, ceil(10/4)=3
+        assert hi_c.tolist() == [20, 10, 5]
+
+    def test_quirk_end_to_end_count_differs_when_expected(self, tmp_path):
+        """Craft a file where the reference's truncation admits extra points
+        and assert our quirk mode reproduces that count exactly."""
+        cloud = synth.make_cloud(
+            10_000, seed=5, point_format=2,
+            scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0),
+            extent=(100.0, 100.0, 100.0),
+        )
+        synth.write_cloud_las(cloud, tmp_path / "q.las")
+        box = AABB((10.7, 10.7, 10.7), (50.0, 50.0, 50.0))
+        raw = cloud.position_raw.astype(np.int64)
+        # reference semantics oracle: trunc() casts, closed interval
+        lo_ref = np.trunc(np.asarray(box.min)).astype(np.int64)
+        hi_ref = np.trunc(np.asarray(box.max)).astype(np.int64)
+        ref_count = int(np.sum(np.all((raw >= lo_ref) & (raw <= hi_ref), axis=1)))
+        # correct closed-box oracle on world coords
+        correct_count = int(np.sum(box.contains_points(cloud.positions_world)))
+        assert ref_count > correct_count  # integer coords at 10 are admitted
+
+        got_q = run_query(
+            tmp_path / "q.las",
+            QueryPlan(bounds=BoundsQuery(box), parity_quirk=True),
+            block_size=BLOCK,
+        ).match_count
+        got_c = run_query(
+            tmp_path / "q.las", QueryPlan(bounds=BoundsQuery(box)), block_size=BLOCK
+        ).match_count
+        assert got_q == ref_count
+        assert got_c == correct_count
