@@ -212,24 +212,33 @@ class LazerFile:
         return result_chunks
 
     def column(self, name: str, start: int = 0, stop: int | None = None) -> np.ndarray:
-        """Materialize a whole attribute column (decodes every covering block)."""
+        """Materialize an attribute column; covering blocks decode in
+        PARALLEL across host threads (the C LZ4 calls release the GIL) —
+        the reference decodes LAZER strictly serially (lazer.rs:59-75)."""
         stop = self.point_count if stop is None else stop
         if name == "color" and "color" not in self._attr_index:
             return np.zeros((stop - start, 3), dtype=np.uint16)
+        if stop <= start:
+            shape = (0, 3) if name in ("position", "color") else (0,)
+            dtype = self._attrs[self._attr_index[name]][1]
+            return np.empty(shape, dtype=dtype)
         first = start // self.block_size
-        last = (stop - 1) // self.block_size if stop > start else first
-        parts = []
-        for b in range(first, last + 1):
+        last = (stop - 1) // self.block_size
+
+        def piece(b: int) -> np.ndarray:
             col = self.read_block(b, (name,))[name]
             b0 = b * self.block_size
             lo = max(start - b0, 0)
             hi = min(stop - b0, self.points_in_block(b))
-            parts.append(col[lo:hi])
-        if not parts:
-            shape = (0, 3) if name in ("position", "color") else (0,)
-            dtype = self._attrs[self._attr_index[name]][1]
-            return np.empty(shape, dtype=dtype)
-        return np.concatenate(parts, axis=0)
+            return col[lo:hi]
+
+        blocks = range(first, last + 1)
+        if last - first >= 2 and native.available():
+            with ThreadPoolExecutor(max_workers=min(8, last - first + 1)) as pool:
+                parts = list(pool.map(piece, blocks))
+        else:
+            parts = [piece(b) for b in blocks]
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
 
     def positions_world(self, start: int = 0, stop: int | None = None) -> np.ndarray:
         raw = self.column("position", start, stop).astype(np.float64)
