@@ -182,8 +182,11 @@ def _run_resident(args: argparse.Namespace, plan: QueryPlan) -> int:
 
     from .parallel.resident import ResidentDataset
 
-    if plan.collects_points:
-        print("--resident supports count queries only (for now)", file=sys.stderr)
+    if plan.collects_points or plan.time_range is not None:
+        print(
+            "--resident supports bbox/class count queries only (for now)",
+            file=sys.stderr,
+        )
         return 1
     t0 = time.perf_counter()
     attrs = ("position",) if plan.bounds is not None else ("classification",)

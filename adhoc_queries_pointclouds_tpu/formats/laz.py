@@ -66,6 +66,9 @@ class LazFile:
         self._parse_chunk_table()
         self._cache: dict[int, dict[str, np.ndarray]] = {}
         self._cache_order: list[int] = []
+        import threading
+
+        self._cache_lock = threading.Lock()
 
     # -- container parsing ---------------------------------------------------
 
@@ -214,13 +217,19 @@ class LazFile:
         return cols
 
     def read_chunk(self, i: int) -> dict[str, np.ndarray]:
-        if i in self._cache:
-            return self._cache[i]
+        # Lock guards the cache structures only (the engine's feeder calls
+        # readers from multiple threads); decode itself runs unlocked.
+        with self._cache_lock:
+            cached = self._cache.get(i)
+        if cached is not None:
+            return cached
         cols = self._decode_chunks(i, 1)
-        self._cache[i] = cols
-        self._cache_order.append(i)
-        while len(self._cache_order) > 32:
-            self._cache.pop(self._cache_order.pop(0), None)
+        with self._cache_lock:
+            if i not in self._cache:
+                self._cache[i] = cols
+                self._cache_order.append(i)
+                while len(self._cache_order) > 32:
+                    self._cache.pop(self._cache_order.pop(0), None)
         return cols
 
     def column(self, name: str, start: int = 0, stop: int | None = None) -> np.ndarray:
@@ -232,18 +241,23 @@ class LazFile:
             return np.empty(shape, dtype=np.int32)
         first = start // self.chunk_size
         last = (stop - 1) // self.chunk_size
-        parts = []
-        for c in range(first, last + 1):
-            cols = self.read_chunk(c)
+        if last > first:
+            # one native call decodes the whole chunk run with its internal
+            # thread pool (chunks are independent coder streams)
+            cols = self._decode_chunks(first, last - first + 1)
             if name == "position":
                 col = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
             else:
                 col = cols[name]
-            b0 = c * self.chunk_size
-            lo = max(start - b0, 0)
-            hi = min(stop - b0, self.points_in_chunk(c))
-            parts.append(col[lo:hi])
-        return np.concatenate(parts, axis=0)
+            b0 = first * self.chunk_size
+            return col[start - b0 : stop - b0]
+        cols = self.read_chunk(first)
+        if name == "position":
+            col = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+        else:
+            col = cols[name]
+        b0 = first * self.chunk_size
+        return col[start - b0 : stop - b0]
 
     def positions_world(self, start: int = 0, stop: int | None = None) -> np.ndarray:
         raw = self.column("position", start, stop).astype(np.float64)

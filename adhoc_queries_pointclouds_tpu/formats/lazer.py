@@ -114,9 +114,16 @@ class LazerFile:
         self._attr_index = {name: i for i, (name, _, _) in enumerate(self._attrs)}
         self.num_attributes = len(self._attrs)
         # Tiny decode cache: engine blocks don't align with LAZER blocks, so
-        # a boundary LAZER block would otherwise be decoded twice.
+        # a boundary LAZER block would otherwise be decoded twice. Readers
+        # are called from the engine's feeder threads, so cache mutation is
+        # lock-guarded; one shared pool serves multi-block column reads.
+        import threading
+
         self._cache: dict[tuple[int, str], np.ndarray] = {}
         self._cache_order: list[tuple[int, str]] = []
+        self._cache_lock = threading.Lock()
+        self._pool: ThreadPoolExecutor | None = None
+        self._pool_lock = threading.Lock()
 
     @property
     def point_count(self) -> int:
@@ -143,12 +150,13 @@ class LazerFile:
         n = self.points_in_block(block_idx)
         out: dict[str, np.ndarray] = {}
         missing = []
-        for name in attrs:
-            key = (block_idx, name)
-            if key in self._cache:
-                out[name] = self._cache[key]
-            else:
-                missing.append(name)
+        with self._cache_lock:
+            for name in attrs:
+                cached = self._cache.get((block_idx, name))
+                if cached is not None:
+                    out[name] = cached
+                else:
+                    missing.append(name)
         if not missing:
             return out
         offs = self._blob_table(block_idx)
@@ -170,11 +178,12 @@ class LazerFile:
                 arr = arr.reshape(n, comps)
             out[name] = arr
             key = (block_idx, name)
-            self._cache[key] = arr
-            self._cache_order.append(key)
-            while len(self._cache_order) > 8:
-                old = self._cache_order.pop(0)
-                self._cache.pop(old, None)
+            with self._cache_lock:
+                if key not in self._cache:
+                    self._cache[key] = arr
+                    self._cache_order.append(key)
+                    while len(self._cache_order) > 8:
+                        self._cache.pop(self._cache_order.pop(0), None)
         return out
 
     def take(self, indices: np.ndarray, attrs: tuple[str, ...]) -> dict[str, np.ndarray]:
@@ -234,8 +243,10 @@ class LazerFile:
 
         blocks = range(first, last + 1)
         if last - first >= 2 and native.available():
-            with ThreadPoolExecutor(max_workers=min(8, last - first + 1)) as pool:
-                parts = list(pool.map(piece, blocks))
+            with self._pool_lock:
+                if self._pool is None:
+                    self._pool = ThreadPoolExecutor(max_workers=8)
+            parts = list(self._pool.map(piece, blocks))
         else:
             parts = [piece(b) for b in blocks]
         return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
@@ -246,6 +257,10 @@ class LazerFile:
 
     def close(self):
         self._mm = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+        self._cache.clear()
 
 
 def write_lazer(

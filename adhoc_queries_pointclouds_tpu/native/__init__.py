@@ -115,11 +115,6 @@ def available() -> bool:
     return load() is not None
 
 
-def _as_buf(data) -> tuple[ctypes.c_void_p, int]:
-    arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
-    return arr.ctypes.data_as(ctypes.c_void_p) if arr.flags["C_CONTIGUOUS"] else np.ascontiguousarray(arr).ctypes.data_as(ctypes.c_void_p), arr.nbytes
-
-
 def lz4_frame_compress(data: bytes | np.ndarray) -> bytes:
     lib = load()
     if lib is None:

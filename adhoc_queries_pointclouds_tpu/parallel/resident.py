@@ -192,6 +192,11 @@ class ResidentDataset:
         """One resident ad-hoc count query = one device dispatch."""
         if plan.density is not None or plan.collects_points:
             raise NotImplementedError("resident mode supports count queries")
+        if plan.time_range is not None:
+            raise NotImplementedError(
+                "resident mode supports bbox/class counts; GPS-time queries "
+                "use the streaming engine (f64 predicate runs on the host)"
+            )
         nvs = jnp.asarray(self.nvs)
         if plan.bounds is not None:
             if self.xs is None:

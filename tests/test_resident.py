@@ -61,3 +61,10 @@ def test_resident_blocks_padded_to_mesh(resident):
 def test_resident_collect_rejected(resident, tmp_path):
     with pytest.raises(NotImplementedError):
         resident.count(QueryPlan(bounds=BoundsQuery(BOX), output_dir=tmp_path))
+
+
+def test_resident_time_range_rejected(resident):
+    from adhoc_queries_pointclouds_tpu.models.query import TimeRangeQuery
+
+    with pytest.raises(NotImplementedError, match="GPS-time"):
+        resident.count(QueryPlan(time_range=TimeRangeQuery(0.0, 1.0)))
