@@ -182,3 +182,48 @@ def test_xxh32_known_vectors():
     if native.available():
         assert native.xxh32(b"", 0) == 0x02CC5D05
         assert native.xxh32(b"Hello World", 0) == 0xB1FD16EE
+
+
+def test_header_v13_roundtrip():
+    h = las.LasHeader(version=(1, 3), point_format=1, point_record_length=28,
+                      point_count=77, offset_to_point_data=235)
+    raw = las.write_las_header(h)
+    assert len(raw) == 235
+    parsed = las.parse_las_header(raw)
+    assert parsed.version == (1, 3)
+    assert parsed.point_count == 77
+
+
+def test_empty_las_file(tmp_path):
+    h = las.LasHeader(point_format=2, point_record_length=26, point_count=0)
+    (tmp_path / "empty.las").write_bytes(las.write_las_header(h))
+    f = LasFile(tmp_path / "empty.las")
+    assert f.point_count == 0
+    assert f.column("position").shape == (0, 3)
+    f.close()
+
+
+def test_engine_handles_empty_file(tmp_path):
+    from adhoc_queries_pointclouds_tpu.engine import run_query
+    from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, QueryPlan
+    from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+    h = las.LasHeader(point_format=2, point_record_length=26, point_count=0,
+                      min=(0.0, 0.0, 0.0), max=(1.0, 1.0, 1.0))
+    (tmp_path / "empty.las").write_bytes(las.write_las_header(h))
+    cloud = synth.make_cloud(1_000, seed=1, offset=(0.0, 0.0, 0.0),
+                             extent=(1.0, 1.0, 1.0))
+    synth.write_cloud_las(cloud, tmp_path / "real.las")
+    res = run_query(
+        tmp_path,
+        QueryPlan(bounds=BoundsQuery(AABB((0.0,) * 3, (2.0,) * 3))),
+        block_size=8192,
+    )
+    assert res.match_count == 1_000
+
+
+def test_truncated_las_rejected(tmp_path):
+    h = las.LasHeader(point_format=2, point_record_length=26, point_count=1000)
+    (tmp_path / "trunc.las").write_bytes(las.write_las_header(h) + b"\x00" * 100)
+    with pytest.raises(ValueError, match="header claims"):
+        LasFile(tmp_path / "trunc.las")
