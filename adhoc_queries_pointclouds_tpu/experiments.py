@@ -86,10 +86,28 @@ def _query_cmd(dataset_path: Path, extra: list[str]) -> list[str]:
     ] + extra
 
 
-def execute_query(dataset_path: Path, extra: list[str], cold: bool = True) -> float:
-    """One timed subprocess run of the query CLI (rs:29-75 pattern)."""
+def execute_query(
+    dataset_path: Path, extra: list[str], cold: bool = True, in_process: bool = False
+) -> float:
+    """One timed query run.
+
+    Default = fresh subprocess + cold page cache, the reference protocol
+    (rs:29-75: it shells out to ./target/release/query after sync+purge).
+    in_process = call the engine directly with warm jit caches — measures
+    steady-state scan cost without Python/JAX startup (~3.4 s/process) or
+    recompiles; closer to what a resident service would see.
+    """
     if cold:
         reset_page_cache()
+    if in_process:
+        from .cli import main as cli_main
+
+        t0 = time.perf_counter()
+        rc = cli_main(["-i", str(dataset_path), "--optimized", "--parallel"] + extra)
+        elapsed = time.perf_counter() - t0
+        if rc != 0:
+            raise RuntimeError(f"query failed on {dataset_path} (exit {rc})")
+        return elapsed
     t0 = time.perf_counter()
     proc = subprocess.run(
         _query_cmd(dataset_path, extra), capture_output=True, text=True
@@ -111,7 +129,7 @@ def _stats_row(name: str, runtimes: list[float]) -> str:
 def run_aabb_experiments(
     in_path: Path, num_runs: int, dataset: str, *, cold: bool = True,
     formats: tuple[str, ...] = FORMATS, sizes: tuple[str, ...] = ("s", "l", "xl"),
-    skip_density: bool = False,
+    skip_density: bool = False, in_process: bool = False,
 ) -> None:
     boxes = AABBS[dataset]
     density = DENSITIES[dataset]
@@ -130,13 +148,16 @@ def run_aabb_experiments(
                 extra = ["--bounds", bounds_str]
                 if use_density:
                     extra += ["--density", str(density), "--density-scope", "file"]
-                runtimes = [execute_query(path, extra, cold) for _ in range(num_runs)]
+                runtimes = [
+                    execute_query(path, extra, cold, in_process)
+                    for _ in range(num_runs)
+                ]
                 print(_stats_row(label, runtimes), flush=True)
 
 
 def run_class_experiments(
     in_path: Path, num_runs: int, dataset: str, *, cold: bool = True,
-    formats: tuple[str, ...] = FORMATS,
+    formats: tuple[str, ...] = FORMATS, in_process: bool = False,
 ) -> None:
     for class_name, class_value in CLASS_EXPERIMENTS:
         for ext in formats:
@@ -144,7 +165,9 @@ def run_class_experiments(
             label = f"{dataset}_{class_name}_{ext}"
             print(f"Experiment {label}...", file=sys.stderr)
             extra = ["--class", str(class_value)]
-            runtimes = [execute_query(path, extra, cold) for _ in range(num_runs)]
+            runtimes = [
+                execute_query(path, extra, cold, in_process) for _ in range(num_runs)
+            ]
             print(_stats_row(label, runtimes), flush=True)
 
 
@@ -203,6 +226,11 @@ def main(argv: list[str] | None = None) -> int:
         help="Comma-separated subset of bbox sizes for experiments 1-3",
     )
     parser.add_argument("--skip-density", action="store_true")
+    parser.add_argument(
+        "--in-process", action="store_true",
+        help="Run queries in-process with warm jit caches (steady-state "
+             "measurement) instead of the reference's cold-subprocess protocol",
+    )
     args = parser.parse_args(argv)
 
     if args.experiment not in EXPERIMENT_DATASETS:
@@ -225,11 +253,12 @@ def main(argv: list[str] | None = None) -> int:
         run_aabb_experiments(
             root, args.runs, dataset, cold=not args.warm, formats=formats,
             sizes=tuple(s for s in args.sizes.split(",") if s),
-            skip_density=args.skip_density,
+            skip_density=args.skip_density, in_process=args.in_process,
         )
     else:
         run_class_experiments(
-            root, args.runs, dataset, cold=not args.warm, formats=formats
+            root, args.runs, dataset, cold=not args.warm, formats=formats,
+            in_process=args.in_process,
         )
     return 0
 
