@@ -227,3 +227,41 @@ def test_truncated_las_rejected(tmp_path):
     (tmp_path / "trunc.las").write_bytes(las.write_las_header(h) + b"\x00" * 100)
     with pytest.raises(ValueError, match="header claims"):
         LasFile(tmp_path / "trunc.las")
+
+
+@pytest.mark.parametrize("name,data", [
+    ("zeros", b"\x00" * 300_000),
+    ("ones_run", b"\xff" * 70_000 + b"ab" * 10 + b"\xff" * 70_000),
+    ("pattern4", b"abcd" * 50_000),
+    ("pattern3", b"xyz" * 50_000),  # non-4-aligned matches
+    ("tiny", b"a"),
+    ("tiny12", b"ab" * 6),  # exactly MFLIMIT
+    ("empty", b""),
+    ("incompressible", bytes(range(256)) * 1),
+    ("far_match", b"HEADER" + b"\x01" * 70_000 + b"HEADER"),  # offset > 64KB window
+])
+def test_lz4_adversarial_roundtrip(name, data):
+    """Compressor edge cases: runs, overlapping matches, window limits,
+    sub-MFLIMIT inputs. Both our native and pure-python decoders must
+    reproduce the input from our own frames."""
+    from adhoc_queries_pointclouds_tpu import native
+    from adhoc_queries_pointclouds_tpu.formats import lz4py
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    frame = native.lz4_frame_compress(data)
+    assert native.lz4_frame_decompress(frame, max(len(data), 1)).tobytes() == data
+    py, consumed = lz4py.frame_decompress(frame)
+    assert py == data
+    assert consumed == len(frame)
+
+
+def test_lz4_block_overlapping_match():
+    """RLE-style overlapping copies (offset < match length) decode bytewise."""
+    from adhoc_queries_pointclouds_tpu.formats import lz4py
+
+    # hand-crafted block: 1 literal 'A', then match offset=1 len=19
+    # token: lit_len=1, match_len=15 (escape) -> extra byte 0 -> 15+4=19
+    block = bytes([0x1F, ord("A"), 0x01, 0x00, 0x00])
+    out = lz4py.block_decompress(block)
+    assert out == b"A" * 20
