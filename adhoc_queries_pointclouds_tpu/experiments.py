@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import statistics
 import subprocess
 import sys
@@ -109,9 +110,16 @@ def execute_query(
             raise RuntimeError(f"query failed on {dataset_path} (exit {rc})")
         return elapsed
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        _query_cmd(dataset_path, extra), capture_output=True, text=True
-    )
+    try:
+        proc = subprocess.run(
+            _query_cmd(dataset_path, extra), capture_output=True, text=True,
+            timeout=float(os.environ.get("AQPC_QUERY_TIMEOUT", "0")) or None,
+        )
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(
+            f"query timed out on {dataset_path} after {e.timeout:.0f}s "
+            "(AQPC_QUERY_TIMEOUT)"
+        ) from e
     elapsed = time.perf_counter() - t0
     if proc.returncode != 0:
         print(proc.stderr, file=sys.stderr)

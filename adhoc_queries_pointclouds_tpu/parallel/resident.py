@@ -51,6 +51,7 @@ class ResidentDataset:
     files: list[Path]
     file_idx: np.ndarray  # (n_blocks,) int32, -1 for padding blocks
     nvs: np.ndarray  # (n_blocks,) int32 valid points per block
+    block_start: np.ndarray | None = None  # (n_blocks,) int64 file-local start
     xs: jax.Array | None = None  # (n_blocks, B) int32, sharded over 'd'
     ys: jax.Array | None = None
     zs: jax.Array | None = None
@@ -92,6 +93,7 @@ class ResidentDataset:
 
         file_idx = np.full(n_blocks, -1, np.int32)
         nvs = np.zeros(n_blocks, np.int32)
+        block_start = np.zeros(n_blocks, np.int64)
         want_pos = "position" in attrs
         want_cls = "classification" in attrs
         xs = np.zeros((n_blocks, block_size), np.int32) if want_pos else None
@@ -106,6 +108,7 @@ class ResidentDataset:
             r = readers[i]
             file_idx[j] = i
             nvs[j] = stop - start
+            block_start[j] = start
             if want_pos:
                 p = r.column("position", start, stop)
                 xs[j, : stop - start] = p[:, 0]
@@ -125,6 +128,7 @@ class ResidentDataset:
             files=files,
             file_idx=file_idx,
             nvs=nvs,
+            block_start=block_start,
             xs=_stack_sharded(mesh, xs) if want_pos else None,
             ys=_stack_sharded(mesh, ys) if want_pos else None,
             zs=_stack_sharded(mesh, zs) if want_pos else None,
@@ -188,9 +192,80 @@ class ResidentDataset:
             )
         )
 
+    def density_count(self, plan: QueryPlan) -> int:
+        """Max-density sampled count against resident blocks.
+
+        Runs the per-block device segment-min (ops/density.py) over blocks
+        that are already in HBM — no disk, no decode — then the sparse host
+        merge. Per-file or global scope per the plan."""
+        from ..ops import density as density_ops, predicate
+
+        if plan.density is None:
+            raise ValueError("density_count needs a density plan")
+        if self.xs is None:
+            raise ValueError("dataset loaded without position columns")
+        if plan.bounds is not None:
+            grid_bounds = plan.bounds.bounds
+        else:
+            from ..utils.aabb import AABB
+
+            grid_bounds = AABB.empty()
+            for h in self.headers:
+                grid_bounds = grid_bounds.union(h.bounds)
+        grid = density_ops.GridSpec3D.create(grid_bounds, plan.density.cell_size)
+
+        states: dict[int, np.ndarray | None] = {}
+        global_state: np.ndarray | None = None
+        params_per_file = {}
+        bounds_per_file = {}
+        for i, h in enumerate(self.headers):
+            if plan.bounds is not None:
+                if not h.bounds.intersects(plan.bounds.bounds):
+                    continue
+                lo64, hi64 = local_query_bounds(
+                    plan.bounds.bounds, h.scale, h.offset,
+                    parity_quirk=plan.parity_quirk,
+                )
+                bounds_per_file[i] = clamp_bounds_to_i32(lo64, hi64)
+            params_per_file[i] = grid.device_params(h.scale, h.offset)
+
+        per_file_scope = plan.density.scope == "file"
+        for b in range(self.n_blocks):
+            i = int(self.file_idx[b])
+            if i < 0 or i not in params_per_file:
+                continue
+            if plan.bounds is not None and i not in bounds_per_file:
+                continue
+            xb, yb, zb = self.xs[b], self.ys[b], self.zs[b]
+            nv = int(self.nvs[b])
+            if plan.bounds is not None:
+                lo, hi = bounds_per_file[i]
+                mask = predicate.bbox_mask(xb, yb, zb, jnp.asarray(lo), jnp.asarray(hi), nv)
+            elif plan.classification is not None:
+                if self.cls is None:
+                    raise ValueError("dataset loaded without classification column")
+                mask = predicate.class_mask(
+                    self.cls[b], jnp.asarray(plan.classification.classification, jnp.int32), nv
+                )
+            else:
+                mask = jnp.ones(xb.shape[0], bool)
+            winners = density_ops.block_grid_sample_masked(
+                xb, yb, zb, mask, int(self.block_start[b]), nv, params_per_file[i]
+            )
+            if per_file_scope:
+                states[i] = density_ops.merge_winners_host(states.get(i), winners, i)
+            else:
+                global_state = density_ops.merge_winners_host(global_state, winners, i)
+        if per_file_scope:
+            return sum(len(s) for s in states.values() if s is not None)
+        return 0 if global_state is None else len(global_state)
+
     def count(self, plan: QueryPlan) -> int:
-        """One resident ad-hoc count query = one device dispatch."""
-        if plan.density is not None or plan.collects_points:
+        """One resident ad-hoc count query = one device dispatch
+        (density plans: one dispatch per resident block + host merge)."""
+        if plan.density is not None:
+            return self.density_count(plan)
+        if plan.collects_points:
             raise NotImplementedError("resident mode supports count queries")
         if plan.time_range is not None:
             raise NotImplementedError(

@@ -63,17 +63,17 @@ def handle_request(ds: ResidentDataset, req: dict, input_path: str) -> dict:
 
     t0 = time.perf_counter()
     try:
-        if plan.collects_points:
-            from .engine import run_query
-
-            res = run_query(input_path, plan)
-            return {
-                "count": res.match_count,
-                "ms": round((time.perf_counter() - t0) * 1e3, 2),
-                "path": "streaming",
-            }
-        count = ds.count(plan)
+        count = ds.count(plan)  # density plans run resident too
         return {"count": count, "ms": round((time.perf_counter() - t0) * 1e3, 2)}
+    except NotImplementedError:
+        from .engine import run_query
+
+        res = run_query(input_path, plan)
+        return {
+            "count": res.match_count,
+            "ms": round((time.perf_counter() - t0) * 1e3, 2),
+            "path": "streaming",
+        }
     except Exception as e:
         return {"error": f"{type(e).__name__}: {e}"}
 

@@ -68,3 +68,24 @@ def test_resident_time_range_rejected(resident):
 
     with pytest.raises(NotImplementedError, match="GPS-time"):
         resident.count(QueryPlan(time_range=TimeRangeQuery(0.0, 1.0)))
+
+
+def test_resident_density_matches_streaming(ds, resident):
+    from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
+
+    root, _ = ds
+    for scope in ("global", "file"):
+        plan = QueryPlan(bounds=BoundsQuery(BOX), density=DensityConfig(50.0, scope))
+        streaming = run_query(root / "last", plan, block_size=1 << 14).match_count
+        assert resident.count(plan) == streaming > 0
+
+
+def test_resident_density_class_predicate(ds, resident_with_cls=None):
+    from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
+
+    root, _ = ds
+    ds_full = ResidentDataset.load(root / "last", block_size=1 << 14,
+                                   attrs=("position", "classification"))
+    plan = QueryPlan(classification=ClassQuery(6), density=DensityConfig(100.0))
+    streaming = run_query(root / "last", plan, block_size=1 << 14).match_count
+    assert ds_full.count(plan) == streaming > 0

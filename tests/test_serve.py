@@ -49,10 +49,24 @@ def test_handle_requests(ds_dir):
     err2 = handle_request(ds, {}, str(path))
     assert "error" in err2
 
-    # density falls back to the streaming engine
+    # density runs resident too; parity with the streaming engine
     rd_ = handle_request(ds, {"bounds": box, "density": 100.0}, str(path))
-    assert rd_.get("path") == "streaming"
-    assert rd_["count"] > 0
+    assert "path" not in rd_  # resident, not streaming fallback
+    from adhoc_queries_pointclouds_tpu.engine import run_query
+    from adhoc_queries_pointclouds_tpu.models.query import (
+        BoundsQuery, DensityConfig, QueryPlan,
+    )
+    from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+    streaming = run_query(
+        path,
+        QueryPlan(
+            bounds=BoundsQuery(AABB(tuple(box[:3]), tuple(box[3:]))),
+            density=DensityConfig(100.0),
+        ),
+        block_size=1 << 14,
+    ).match_count
+    assert rd_["count"] == streaming > 0
 
 
 def test_serve_subprocess_protocol(ds_dir):
