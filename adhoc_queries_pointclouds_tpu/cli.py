@@ -241,8 +241,8 @@ def cmd_index(args: argparse.Namespace) -> int:
 
     for f in discover_files(args.input):
         r = open_point_cloud(f)
-        blocks = build_index(r)
-        p = save_index(f, blocks, n_points=r.point_count)
+        blocks, bitmap = build_index(r)
+        p = save_index(f, blocks, bitmap, n_points=r.point_count)
         print(f"Indexed {f} -> {p} ({len(blocks)} blocks)")
         r.close()
     return 0

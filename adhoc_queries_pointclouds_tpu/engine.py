@@ -259,8 +259,8 @@ def run_query(
     # "on-the-fly index building" idea): classify each engine block as
     # disjoint / contained / partial against the integer query box. Exact
     # results are preserved — the index only removes work.
-    file_indices_meta: dict[int, tuple[int, np.ndarray]] = {}
-    if use_index and is_bounds:
+    file_indices_meta: dict[int, tuple] = {}
+    if use_index and (is_bounds or plan.classification is not None):
         from . import index as index_mod
 
         for i in active:
@@ -319,18 +319,18 @@ def _run_count(
     rows_per_step = d * max(1, blocks_per_step)
     block_index = block_index or {}
 
-    from .index import CONTAINED, DISJOINT, classify_block
+    from .index import CONTAINED, DISJOINT, class_present, classify_block
 
     tasks = []
     indexed_total = 0  # points of CONTAINED blocks: counted with zero IO
     skipped_blocks = contained_blocks = 0
     for i in active:
         n = readers[i].point_count
-        idx_info = block_index.get(i) if is_bounds else None
+        idx_info = block_index.get(i)
         for b in range((n + block_size - 1) // block_size):
             start = b * block_size
             stop = min(start + block_size, n)
-            if idx_info is not None:
+            if idx_info is not None and is_bounds:
                 lo, hi = file_bounds[i]
                 cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
                 if cls == DISJOINT:
@@ -339,6 +339,13 @@ def _run_count(
                 if cls == CONTAINED:
                     indexed_total += stop - start
                     contained_blocks += 1
+                    continue
+            elif idx_info is not None and plan.classification is not None:
+                if not class_present(
+                    idx_info[2], idx_info[0], start, stop,
+                    plan.classification.classification,
+                ):
+                    skipped_blocks += 1
                     continue
             tasks.append((i, b, start, stop))
     if skipped_blocks or contained_blocks:
@@ -480,7 +487,7 @@ def _run_collect(
 
     global_state: np.ndarray | None = None
 
-    from .index import CONTAINED, DISJOINT, classify_block
+    from .index import CONTAINED, DISJOINT, class_present, classify_block
 
     block_index = block_index or {}
 
@@ -491,12 +498,12 @@ def _run_collect(
             file_state: np.ndarray | None = None
             file_indices: list[np.ndarray] = []
 
-            idx_info = block_index.get(file_idx) if is_bounds else None
+            idx_info = block_index.get(file_idx)
             tasks = []
             for b in range((n + block_size - 1) // block_size):
                 start = b * block_size
                 stop = min(start + block_size, n)
-                if idx_info is not None:
+                if idx_info is not None and is_bounds:
                     lo, hi = file_bounds[file_idx]
                     cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
                     if cls == DISJOINT:
@@ -506,6 +513,13 @@ def _run_collect(
                         # every point in the block matches: no device pass
                         file_indices.append(np.arange(start, stop, dtype=np.int64))
                         timer.counts["index_contained_blocks"] += 1
+                        continue
+                elif idx_info is not None and plan.classification is not None:
+                    if not class_present(
+                        idx_info[2], idx_info[0], start, stop,
+                        plan.classification.classification,
+                    ):
+                        timer.counts["index_skipped_blocks"] += 1
                         continue
                 tasks.append((file_idx, b, start, stop))
 

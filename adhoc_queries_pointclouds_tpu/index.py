@@ -1,23 +1,29 @@
-"""Block min/max sidecar index: the reference's sketched-but-unbuilt
-"on-the-fly index building across scans" (improvements.md:3-10) realized.
+"""Block min/max + class-bitmap sidecar index: the reference's
+sketched-but-unbuilt "on-the-fly index building across scans"
+(improvements.md:3-10) realized.
 
 The paper's thesis is that point-cloud queries need no *acceleration
 structure* — and none is required here either: the index is an optional
-sidecar (`<file>.aqpc-idx`) of per-block coordinate min/max that any scan
-can emit as a byproduct of reading the data once. With it, a bbox query
-classifies each block against the integer-domain query box:
+sidecar (`<file>.aqpc-idx`) any scan can emit as a byproduct of reading the
+data once. Per 65k-point block it stores the coordinate min/max and a
+256-bit classification-presence bitmap. Queries classify each block:
 
-  disjoint   -> skip the block entirely (no IO, no device work)
-  contained  -> count its points without reading them (min/max inside the
-                closed box implies every point matches — still exact)
-  partial    -> scan normally
+  bbox:  disjoint   -> skip (no IO, no device work)
+         contained  -> count/collect every point without scanning (min/max
+                       inside the closed box implies all match — exact)
+         partial    -> scan normally
+  class: absent     -> skip (bitmap bit clear in every covering block);
+                       the paper's class-19 "noclass" experiment becomes
+                       O(index) instead of a full 1 B/point scan
 
-Exactness is preserved by construction; the index only ever removes work.
+Exactness is preserved by construction; the index only removes work.
 Sidecars carry the source file's size+mtime and are ignored when stale.
 
 Format (little-endian):
-  magic "AQPCIDX1" | u32 index_block_size | u64 n_points
-  | u64 src_size | f64 src_mtime | n_iblocks x 6 x i32 (min xyz, max xyz)
+  magic "AQPCIDX2" | u32 index_block_size | u64 n_points
+  | u64 src_size | f64 src_mtime
+  | n_iblocks x 6 x i32  (min xyz, max xyz)
+  | n_iblocks x 32 x u8  (class-presence bitmap, bit c = class c present)
 """
 
 from __future__ import annotations
@@ -27,8 +33,8 @@ from pathlib import Path
 
 import numpy as np
 
-MAGIC = b"AQPCIDX1"
-INDEX_BLOCK = 65_536  # points per index block (24 B of index per block)
+MAGIC = b"AQPCIDX2"
+INDEX_BLOCK = 65_536  # points per index block (56 B of index per block)
 
 DISJOINT, PARTIAL, CONTAINED = 0, 1, 2
 
@@ -37,39 +43,52 @@ def index_path(file: str | Path) -> Path:
     return Path(str(file) + ".aqpc-idx")
 
 
-def build_index(reader, *, index_block: int = INDEX_BLOCK) -> np.ndarray:
-    """(n_iblocks, 6) int32 min/max per index block of `reader`."""
+def build_index(reader, *, index_block: int = INDEX_BLOCK) -> tuple[np.ndarray, np.ndarray]:
+    """((n_iblocks, 6) int32 min/max, (n_iblocks, 32) uint8 class bitmap)."""
     n = reader.point_count
     n_blocks = (n + index_block - 1) // index_block
-    out = np.empty((max(n_blocks, 1), 6), np.int32)
+    mm = np.empty((max(n_blocks, 1), 6), np.int32)
+    bitmap = np.zeros((max(n_blocks, 1), 32), np.uint8)
     if n == 0:
-        out[:] = 0
-        return out[:0]
+        return mm[:0], bitmap[:0]
     for b in range(n_blocks):
         start = b * index_block
         stop = min(start + index_block, n)
         pos = reader.column("position", start, stop)
-        out[b, :3] = pos.min(axis=0)
-        out[b, 3:] = pos.max(axis=0)
-    return out[:n_blocks]
+        mm[b, :3] = pos.min(axis=0)
+        mm[b, 3:] = pos.max(axis=0)
+        cls = np.asarray(reader.column("classification", start, stop), np.uint8)
+        present = np.unique(cls)
+        np.bitwise_or.at(bitmap[b], present >> 3, (1 << (present & 7)).astype(np.uint8))
+    return mm[:n_blocks], bitmap[:n_blocks]
 
 
-def save_index(file: str | Path, blocks: np.ndarray, *, index_block: int = INDEX_BLOCK,
-               n_points: int | None = None) -> Path:
+def save_index(
+    file: str | Path,
+    blocks: np.ndarray,
+    class_bitmap: np.ndarray | None = None,
+    *,
+    index_block: int = INDEX_BLOCK,
+    n_points: int | None = None,
+) -> Path:
     file = Path(file)
     st = file.stat()
     p = index_path(file)
+    blocks = np.ascontiguousarray(blocks, np.int32)
+    if class_bitmap is None:
+        class_bitmap = np.full((len(blocks), 32), 0xFF, np.uint8)  # unknown: all present
     with open(p, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<IQQd", index_block,
                             n_points if n_points is not None else 0,
                             st.st_size, st.st_mtime))
-        f.write(np.ascontiguousarray(blocks, np.int32).tobytes())
+        f.write(blocks.tobytes())
+        f.write(np.ascontiguousarray(class_bitmap, np.uint8).tobytes())
     return p
 
 
-def load_index(file: str | Path) -> tuple[int, np.ndarray] | None:
-    """(index_block_size, (n_iblocks, 6) int32) or None if absent/stale."""
+def load_index(file: str | Path):
+    """(index_block_size, (n,6) i32 minmax, (n,32) u8 bitmap) or None."""
     file = Path(file)
     p = index_path(file)
     if not p.exists():
@@ -82,19 +101,24 @@ def load_index(file: str | Path) -> tuple[int, np.ndarray] | None:
         st = file.stat()
         if st.st_size != src_size or abs(st.st_mtime - src_mtime) > 1e-6:
             return None  # stale
-        blocks = np.frombuffer(raw[8 + 28:], dtype=np.int32).reshape(-1, 6)
-        return index_block, blocks
+        body = raw[8 + 28:]
+        n_blocks = len(body) // (24 + 32)
+        mm = np.frombuffer(body[: n_blocks * 24], dtype=np.int32).reshape(-1, 6)
+        bitmap = np.frombuffer(
+            body[n_blocks * 24 : n_blocks * 24 + n_blocks * 32], dtype=np.uint8
+        ).reshape(-1, 32)
+        return index_block, mm, bitmap
     except (OSError, ValueError, struct.error):
         return None
 
 
-def ensure_index(file: str | Path, reader) -> tuple[int, np.ndarray]:
+def ensure_index(file: str | Path, reader):
     cached = load_index(file)
     if cached is not None:
         return cached
-    blocks = build_index(reader)
-    save_index(file, blocks, n_points=reader.point_count)
-    return INDEX_BLOCK, blocks
+    mm, bitmap = build_index(reader)
+    save_index(file, mm, bitmap, n_points=reader.point_count)
+    return INDEX_BLOCK, mm, bitmap
 
 
 def classify_block(
@@ -119,3 +143,17 @@ def classify_block(
     if bool(contained.all()):
         return CONTAINED
     return PARTIAL
+
+
+def class_present(
+    bitmap: np.ndarray, index_block: int, start: int, stop: int, classification: int
+) -> bool:
+    """Whether the class may appear in engine block [start, stop)."""
+    first = start // index_block
+    last = (stop - 1) // index_block
+    sub = bitmap[first : last + 1]
+    if len(sub) == 0:
+        return True  # no info: conservative
+    byte = classification >> 3
+    bit = np.uint8(1 << (classification & 7))
+    return bool(np.any(sub[:, byte] & bit))

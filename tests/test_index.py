@@ -37,16 +37,23 @@ class TestIndexCore:
     def test_build_save_load_roundtrip(self, ds, tmp_path):
         path, files = ds
         r = open_point_cloud(files[0])
-        blocks = index_mod.build_index(r, index_block=8192)
+        blocks, bitmap = index_mod.build_index(r, index_block=8192)
         assert blocks.shape == ((40_000 + 8191) // 8192, 6)
+        assert bitmap.shape == (blocks.shape[0], 32)
         pos = r.column("position")
         np.testing.assert_array_equal(blocks[0, :3], pos[:8192].min(axis=0))
         np.testing.assert_array_equal(blocks[-1, 3:], pos[-(40_000 % 8192) or 8192:].max(axis=0))
-        index_mod.save_index(files[0], blocks, index_block=8192, n_points=40_000)
+        # bitmap: exactly the classes present in block 0
+        cls0 = np.unique(r.column("classification")[:8192])
+        for c in range(256):
+            present = bool(bitmap[0, c >> 3] & (1 << (c & 7)))
+            assert present == (c in cls0)
+        index_mod.save_index(files[0], blocks, bitmap, index_block=8192, n_points=40_000)
         loaded = index_mod.load_index(files[0])
         assert loaded is not None
         assert loaded[0] == 8192
         np.testing.assert_array_equal(loaded[1], blocks)
+        np.testing.assert_array_equal(loaded[2], bitmap)
         r.close()
 
     def test_stale_index_ignored(self, tmp_path):
@@ -54,7 +61,7 @@ class TestIndexCore:
                                     seed=3, formats=("las",))
         f = files["las"][0]
         r = open_point_cloud(f)
-        index_mod.save_index(f, index_mod.build_index(r), n_points=2_000)
+        index_mod.save_index(f, *index_mod.build_index(r), n_points=2_000)
         r.close()
         assert index_mod.load_index(f) is not None
         # rewrite the file -> index must be treated as stale
@@ -79,7 +86,7 @@ class TestIndexedQueries:
         path, files = ds
         for f in files:
             r = open_point_cloud(f)
-            index_mod.save_index(f, index_mod.build_index(r), n_points=r.point_count)
+            index_mod.save_index(f, *index_mod.build_index(r), n_points=r.point_count)
             r.close()
         return path, files
 
@@ -157,3 +164,38 @@ def test_index_cli_subcommand(tmp_path, capsys):
     from adhoc_queries_pointclouds_tpu.engine import discover_files
 
     assert all(f.suffix == ".las" for f in discover_files(tmp_path / "las"))
+
+
+class TestClassBitmap:
+    def test_absent_class_skips_all_blocks(self, tmp_path):
+        from adhoc_queries_pointclouds_tpu.models.query import ClassQuery
+
+        files = synth.write_dataset(tmp_path, n_files=2, points_per_file=20_000,
+                                    seed=81, formats=("last",), classes=(1, 2, 3))
+        for f in files["last"]:
+            r = open_point_cloud(f)
+            index_mod.save_index(f, *index_mod.build_index(r), n_points=r.point_count)
+            r.close()
+        res = run_query(tmp_path / "last", QueryPlan(classification=ClassQuery(19)),
+                        block_size=BLOCK)
+        assert res.match_count == 0
+        assert res.timer.counts.get("index_skipped_blocks", 0) > 0
+        assert res.timer.seconds.get("scan", 1.0) is not None
+        # present class still exact
+        res2 = run_query(tmp_path / "last", QueryPlan(classification=ClassQuery(2)),
+                         block_size=BLOCK)
+        oracle = 0
+        for f in files["last"]:
+            r = open_point_cloud(f)
+            oracle += int(np.sum(r.column("classification") == 2))
+            r.close()
+        assert res2.match_count == oracle
+
+    def test_class_present_helper(self):
+        bitmap = np.zeros((2, 32), np.uint8)
+        bitmap[0, 0] = 0b0000_0100  # class 2 present in iblock 0
+        bitmap[1, 2] = 0b0000_1000  # class 19 present in iblock 1
+        assert index_mod.class_present(bitmap, 100, 0, 100, 2)
+        assert not index_mod.class_present(bitmap, 100, 0, 100, 19)
+        assert index_mod.class_present(bitmap, 100, 100, 200, 19)
+        assert index_mod.class_present(bitmap, 100, 0, 200, 19)  # covering both
