@@ -260,6 +260,7 @@ def run_query(
     # disjoint / contained / partial against the integer query box. Exact
     # results are preserved — the index only removes work.
     file_indices_meta: dict[int, tuple] = {}
+    index_collectors: dict[int, "index_mod.IndexCollector"] = {}
     if use_index and (is_bounds or plan.classification is not None):
         from . import index as index_mod
 
@@ -267,20 +268,33 @@ def run_query(
             info = index_mod.load_index(files[i])
             if info is not None:
                 file_indices_meta[i] = info
+        # on-the-fly build (improvements.md semantics): a full bbox scan of
+        # an unindexed file emits the sidecar as a byproduct
+        if is_bounds and os.environ.get("AQPC_AUTO_INDEX", "1") != "0":
+            for i in active:
+                if i not in file_indices_meta:
+                    index_collectors[i] = index_mod.IndexCollector(
+                        readers[i].point_count
+                    )
 
     if plan.collects_points:
         result = _run_collect(
             plan, files, readers, active, file_bounds, grid,
             block_size=block_size, workers=workers, prefetch=prefetch,
             timer=timer, keep_hits=keep_hits, block_index=file_indices_meta,
+            index_collectors=index_collectors,
         )
     else:
         result = _run_count(
             plan, readers, active, file_bounds,
             block_size=block_size, impl=impl, n_devices=n_devices,
             workers=workers, prefetch=prefetch, timer=timer,
-            block_index=file_indices_meta,
+            block_index=file_indices_meta, index_collectors=index_collectors,
         )
+
+    for i, collector in index_collectors.items():
+        if collector.save_if_complete(files[i]):
+            timer.counts["index_built_files"] += 1
 
     # points actually scanned = points of files that survived the header
     # prefilter (skipped files cost only a header read)
@@ -307,7 +321,7 @@ def run_query(
 
 def _run_count(
     plan, readers, active, file_bounds, *, block_size, impl, n_devices,
-    workers, prefetch, timer, block_index=None,
+    workers, prefetch, timer, block_index=None, index_collectors=None,
 ):
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
@@ -370,9 +384,14 @@ def _run_count(
                 total = sum(pool.map(count_block, tasks))
         return total, [], []
 
+    index_collectors = index_collectors or {}
+
     if is_bounds:
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
+            collector = index_collectors.get(file_idx)
+            if collector is not None:
+                collector.update(start, pos)
             return {
                 "x": np.ascontiguousarray(pos[:, 0]),
                 "y": np.ascontiguousarray(pos[:, 1]),
@@ -441,6 +460,7 @@ def _run_count(
 def _run_collect(
     plan, files, readers, active, file_bounds, grid, *,
     block_size, workers, prefetch, timer, keep_hits, block_index=None,
+    index_collectors=None,
 ):
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
@@ -471,11 +491,16 @@ def _run_collect(
     density = plan.density
     scope = density.scope if density else None
 
+    index_collectors = index_collectors or {}
+
     def load(file_idx, start, stop):
         cols = {}
         r = readers[file_idx]
         if is_bounds or density is not None:
             pos = r.column("position", start, stop)
+            collector = index_collectors.get(file_idx)
+            if collector is not None:
+                collector.update(start, pos)
             cols["x"] = np.ascontiguousarray(pos[:, 0])
             cols["y"] = np.ascontiguousarray(pos[:, 1])
             cols["z"] = np.ascontiguousarray(pos[:, 2])

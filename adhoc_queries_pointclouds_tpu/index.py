@@ -121,6 +121,57 @@ def ensure_index(file: str | Path, reader):
     return INDEX_BLOCK, mm, bitmap
 
 
+class IndexCollector:
+    """Accumulates per-index-block min/max WHILE a scan reads the data —
+    the literal "build the index on the fly across scans" semantics of the
+    reference's improvements.md: the first full scan pays nothing extra
+    (a numpy min/max over data already in cache) and later queries prune.
+
+    Thread-safe: the engine's feeder updates it from decode workers.
+    Class bitmaps are left conservative (all-present) — `aqpc index`
+    builds exact ones.
+    """
+
+    def __init__(self, n_points: int, index_block: int = INDEX_BLOCK):
+        import threading
+
+        self.index_block = index_block
+        self.n_points = n_points
+        n_blocks = max((n_points + index_block - 1) // index_block, 1)
+        self.mm = np.empty((n_blocks, 6), np.int32)
+        self.mm[:, :3] = np.iinfo(np.int32).max
+        self.mm[:, 3:] = np.iinfo(np.int32).min
+        self.covered = np.zeros(n_points, bool) if n_points else np.zeros(0, bool)
+        self._lock = threading.Lock()
+
+    def update(self, start: int, positions: np.ndarray) -> None:
+        """Fold [start, start+len) positions (n, 3 int32) into the stats."""
+        stop = start + len(positions)
+        first = start // self.index_block
+        with self._lock:
+            self.covered[start:stop] = True
+            for b in range(first, (stop - 1) // self.index_block + 1):
+                lo = max(b * self.index_block, start) - start
+                hi = min((b + 1) * self.index_block, stop) - start
+                frag = positions[lo:hi]
+                np.minimum(self.mm[b, :3], frag.min(axis=0), out=self.mm[b, :3])
+                np.maximum(self.mm[b, 3:], frag.max(axis=0), out=self.mm[b, 3:])
+
+    @property
+    def complete(self) -> bool:
+        return bool(self.covered.all()) and self.n_points > 0
+
+    def save_if_complete(self, file: str | Path) -> bool:
+        if not self.complete:
+            return False
+        try:
+            save_index(file, self.mm, None, index_block=self.index_block,
+                       n_points=self.n_points)
+            return True
+        except OSError:
+            return False  # read-only location: queries must not fail
+
+
 def classify_block(
     iblocks: np.ndarray, index_block: int, start: int, stop: int,
     lo: np.ndarray, hi: np.ndarray,

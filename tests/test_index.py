@@ -199,3 +199,51 @@ class TestClassBitmap:
         assert not index_mod.class_present(bitmap, 100, 0, 100, 19)
         assert index_mod.class_present(bitmap, 100, 100, 200, 19)
         assert index_mod.class_present(bitmap, 100, 0, 200, 19)  # covering both
+
+
+class TestAutoIndex:
+    def test_full_scan_builds_index_as_byproduct(self, tmp_path):
+        """improvements.md semantics: scan once (no index), sidecar appears;
+        the second query prunes with it — counts identical."""
+        files = synth.write_dataset(tmp_path, n_files=2, points_per_file=30_000,
+                                    seed=91, formats=("last",))
+        # intersects BOTH files' slabs so both get fully scanned (and indexed)
+        box = AABB((100200.0, 200300.0, 10.0), (101700.0, 200800.0, 60.0))
+        plan = QueryPlan(bounds=BoundsQuery(box))
+        assert not list((tmp_path / "last").glob("*.aqpc-idx"))
+        first = run_query(tmp_path / "last", plan, block_size=BLOCK)
+        assert first.timer.counts.get("index_built_files", 0) == 2
+        sidecars = list((tmp_path / "last").glob("*.aqpc-idx"))
+        assert len(sidecars) == 2
+        # second query uses the fresh index; identical count
+        second = run_query(tmp_path / "last", plan, block_size=BLOCK)
+        assert second.match_count == first.match_count
+        assert second.timer.counts.get("index_built_files", 0) == 0
+        # built index matches an explicitly built one (minmax part)
+        f = files["last"][0]
+        loaded = index_mod.load_index(f)
+        r = open_point_cloud(f)
+        explicit_mm, _ = index_mod.build_index(r)
+        r.close()
+        np.testing.assert_array_equal(loaded[1], explicit_mm)
+
+    def test_auto_index_disabled_by_env(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("AQPC_AUTO_INDEX", "0")
+        synth.write_dataset(tmp_path, n_files=1, points_per_file=5_000,
+                            seed=92, formats=("las",))
+        box = AABB((0.0, 0.0, 0.0), (1e7, 1e7, 1e7))
+        run_query(tmp_path / "las", QueryPlan(bounds=BoundsQuery(box)),
+                  block_size=BLOCK)
+        assert not list((tmp_path / "las").glob("*.aqpc-idx"))
+
+    def test_prefiltered_file_not_indexed(self, tmp_path):
+        """A file skipped by the header prefilter is never scanned, so no
+        (incomplete) index may be written for it."""
+        files = synth.write_dataset(tmp_path, n_files=3, points_per_file=5_000,
+                                    seed=93, formats=("last",))
+        # box hits only file 0's slab
+        box = AABB((100100.0, 200100.0, 0.0), (100900.0, 200900.0, 100.0))
+        run_query(tmp_path / "last", QueryPlan(bounds=BoundsQuery(box)),
+                  block_size=BLOCK)
+        built = {p.name for p in (tmp_path / "last").glob("*.aqpc-idx")}
+        assert built == {"file_0.last.aqpc-idx"}
