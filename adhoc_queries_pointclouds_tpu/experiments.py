@@ -75,16 +75,17 @@ def reset_page_cache() -> None:
         )
 
 
+def _query_args(dataset_path: Path, extra: list[str]) -> list[str]:
+    """Shared CLI argument list for both measurement modes."""
+    return ["-i", str(dataset_path), "--optimized", "--parallel"] + extra
+
+
 def _query_cmd(dataset_path: Path, extra: list[str]) -> list[str]:
     return [
         sys.executable,
         "-m",
         "adhoc_queries_pointclouds_tpu.cli",
-        "-i",
-        str(dataset_path),
-        "--optimized",
-        "--parallel",
-    ] + extra
+    ] + _query_args(dataset_path, extra)
 
 
 def execute_query(
@@ -104,7 +105,7 @@ def execute_query(
         from .cli import main as cli_main
 
         t0 = time.perf_counter()
-        rc = cli_main(["-i", str(dataset_path), "--optimized", "--parallel"] + extra)
+        rc = cli_main(_query_args(dataset_path, extra))
         elapsed = time.perf_counter() - t0
         if rc != 0:
             raise RuntimeError(f"query failed on {dataset_path} (exit {rc})")

@@ -77,13 +77,17 @@ def save_index(
     blocks = np.ascontiguousarray(blocks, np.int32)
     if class_bitmap is None:
         class_bitmap = np.full((len(blocks), 32), 0xFF, np.uint8)  # unknown: all present
-    with open(p, "wb") as f:
+    # write via temp + atomic rename: a crash mid-write must never leave a
+    # half-sidecar that silently mis-prunes later queries
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    with open(tmp, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<IQQd", index_block,
                             n_points if n_points is not None else 0,
                             st.st_size, st.st_mtime))
         f.write(blocks.tobytes())
         f.write(np.ascontiguousarray(class_bitmap, np.uint8).tobytes())
+    tmp.replace(p)
     return p
 
 
@@ -97,12 +101,17 @@ def load_index(file: str | Path):
         raw = p.read_bytes()
         if raw[:8] != MAGIC:
             return None
-        index_block, _n_points, src_size, src_mtime = struct.unpack_from("<IQQd", raw, 8)
+        index_block, n_points, src_size, src_mtime = struct.unpack_from("<IQQd", raw, 8)
         st = file.stat()
         if st.st_size != src_size or abs(st.st_mtime - src_mtime) > 1e-6:
             return None  # stale
         body = raw[8 + 28:]
-        n_blocks = len(body) // (24 + 32)
+        n_blocks = (n_points + index_block - 1) // index_block if n_points else 0
+        # a truncated sidecar must be rejected, not sliced short: a short
+        # body would misalign the bitmap region onto min/max bytes and
+        # silently mis-prune class queries
+        if n_blocks == 0 or len(body) != n_blocks * (24 + 32):
+            return None
         mm = np.frombuffer(body[: n_blocks * 24], dtype=np.int32).reshape(-1, 6)
         bitmap = np.frombuffer(
             body[n_blocks * 24 : n_blocks * 24 + n_blocks * 32], dtype=np.uint8
@@ -141,25 +150,33 @@ class IndexCollector:
         self.mm = np.empty((n_blocks, 6), np.int32)
         self.mm[:, :3] = np.iinfo(np.int32).max
         self.mm[:, 3:] = np.iinfo(np.int32).min
-        self.covered = np.zeros(n_points, bool) if n_points else np.zeros(0, bool)
+        # coverage tracked as covered-point counters per index block (8 B
+        # per 65k points), not a per-point bool (1 GB/Bpt would be absurd)
+        self.covered_counts = np.zeros(n_blocks, np.int64)
         self._lock = threading.Lock()
 
     def update(self, start: int, positions: np.ndarray) -> None:
-        """Fold [start, start+len) positions (n, 3 int32) into the stats."""
+        """Fold [start, start+len) positions (n, 3 int32) into the stats.
+        Ranges must not overlap across calls (engine blocks never do)."""
         stop = start + len(positions)
         first = start // self.index_block
         with self._lock:
-            self.covered[start:stop] = True
             for b in range(first, (stop - 1) // self.index_block + 1):
                 lo = max(b * self.index_block, start) - start
                 hi = min((b + 1) * self.index_block, stop) - start
                 frag = positions[lo:hi]
                 np.minimum(self.mm[b, :3], frag.min(axis=0), out=self.mm[b, :3])
                 np.maximum(self.mm[b, 3:], frag.max(axis=0), out=self.mm[b, 3:])
+                self.covered_counts[b] += hi - lo
 
     @property
     def complete(self) -> bool:
-        return bool(self.covered.all()) and self.n_points > 0
+        if self.n_points <= 0:
+            return False
+        n_blocks = len(self.covered_counts)
+        expect = np.full(n_blocks, self.index_block, np.int64)
+        expect[-1] = self.n_points - (n_blocks - 1) * self.index_block
+        return bool(np.array_equal(self.covered_counts, expect))
 
     def save_if_complete(self, file: str | Path) -> bool:
         if not self.complete:

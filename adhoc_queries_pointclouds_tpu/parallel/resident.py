@@ -202,6 +202,10 @@ class ResidentDataset:
 
         if plan.density is None:
             raise ValueError("density_count needs a density plan")
+        if plan.time_range is not None:
+            raise NotImplementedError(
+                "resident mode does not support GPS-time predicates (f64 on host)"
+            )
         if self.xs is None:
             raise ValueError("dataset loaded without position columns")
         if plan.bounds is not None:
@@ -241,14 +245,12 @@ class ResidentDataset:
             if plan.bounds is not None:
                 lo, hi = bounds_per_file[i]
                 mask = predicate.bbox_mask(xb, yb, zb, jnp.asarray(lo), jnp.asarray(hi), nv)
-            elif plan.classification is not None:
+            else:
                 if self.cls is None:
                     raise ValueError("dataset loaded without classification column")
                 mask = predicate.class_mask(
                     self.cls[b], jnp.asarray(plan.classification.classification, jnp.int32), nv
                 )
-            else:
-                mask = jnp.ones(xb.shape[0], bool)
             winners = density_ops.block_grid_sample_masked(
                 xb, yb, zb, mask, int(self.block_start[b]), nv, params_per_file[i]
             )
@@ -263,15 +265,15 @@ class ResidentDataset:
     def count(self, plan: QueryPlan) -> int:
         """One resident ad-hoc count query = one device dispatch
         (density plans: one dispatch per resident block + host merge)."""
-        if plan.density is not None:
-            return self.density_count(plan)
-        if plan.collects_points:
-            raise NotImplementedError("resident mode supports count queries")
         if plan.time_range is not None:
             raise NotImplementedError(
                 "resident mode supports bbox/class counts; GPS-time queries "
                 "use the streaming engine (f64 predicate runs on the host)"
             )
+        if plan.density is not None:
+            return self.density_count(plan)
+        if plan.collects_points:
+            raise NotImplementedError("resident mode supports count queries")
         nvs = jnp.asarray(self.nvs)
         if plan.bounds is not None:
             if self.xs is None:

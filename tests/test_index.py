@@ -247,3 +247,17 @@ class TestAutoIndex:
                   block_size=BLOCK)
         built = {p.name for p in (tmp_path / "last").glob("*.aqpc-idx")}
         assert built == {"file_0.last.aqpc-idx"}
+
+
+def test_truncated_sidecar_rejected(tmp_path):
+    """A half-written sidecar must be ignored, never mis-prune (review fix)."""
+    files = synth.write_dataset(tmp_path, n_files=1, points_per_file=200_000,
+                                seed=95, formats=("las",))
+    f = files["las"][0]
+    r = open_point_cloud(f)
+    p = index_mod.save_index(f, *index_mod.build_index(r), n_points=200_000)
+    r.close()
+    assert index_mod.load_index(f) is not None
+    raw = p.read_bytes()
+    p.write_bytes(raw[: len(raw) - 40])  # simulate crash mid-write
+    assert index_mod.load_index(f) is None

@@ -80,7 +80,7 @@ def test_resident_density_matches_streaming(ds, resident):
         assert resident.count(plan) == streaming > 0
 
 
-def test_resident_density_class_predicate(ds, resident_with_cls=None):
+def test_resident_density_class_predicate(ds):
     from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
 
     root, _ = ds
