@@ -102,10 +102,15 @@ def execute_query(
     if cold:
         reset_page_cache()
     if in_process:
+        import contextlib
+
         from .cli import main as cli_main
 
         t0 = time.perf_counter()
-        rc = cli_main(_query_args(dataset_path, extra))
+        # the engine's human-facing prints go to stderr so stdout stays a
+        # clean CSV (the subprocess path captures them instead)
+        with contextlib.redirect_stdout(sys.stderr):
+            rc = cli_main(_query_args(dataset_path, extra))
         elapsed = time.perf_counter() - t0
         if rc != 0:
             raise RuntimeError(f"query failed on {dataset_path} (exit {rc})")
@@ -154,7 +159,10 @@ def run_aabb_experiments(
                     f"{dataset}_{bounds_name}_{'lod' if use_density else 'full'}_{ext}"
                 )
                 print(f"Experiment {label}...", file=sys.stderr)
-                extra = ["--bounds", bounds_str]
+                # --bounds=STR form: argparse rejects a separate value token
+                # starting with '-' (negative mins; the reference's clap uses
+                # allow_hyphen_values for the same reason, main.rs:209)
+                extra = [f"--bounds={bounds_str}"]
                 if use_density:
                     extra += ["--density", str(density), "--density-scope", "file"]
                 runtimes = [
