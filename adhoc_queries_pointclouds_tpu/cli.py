@@ -274,6 +274,14 @@ def main(argv: list[str] | None = None) -> int:
             pass
 
     argv = list(sys.argv[1:] if argv is None else argv)
+    # argparse rejects option values that start with '-'; bounding boxes
+    # legitimately have negative mins (the reference's clap sets
+    # allow_hyphen_values, main.rs:209) — fold them into --opt=value form
+    for opt in ("--bounds", "--time-range"):
+        for k in range(len(argv) - 1):
+            if argv[k] == opt and argv[k + 1].startswith("-"):
+                argv[k : k + 2] = [f"{opt}={argv[k + 1]}"]
+                break
     subcommands = (
         "query", "convert", "count-points", "experiments", "postgis", "serve", "index",
     )

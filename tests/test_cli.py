@@ -112,3 +112,12 @@ def test_experiments_subcommand_help(capsys):
     with _pytest.raises(SystemExit) as e:
         main(["experiments", "--help"])
     assert e.value.code == 0
+
+
+def test_negative_bounds_accepted(ds, capsys):
+    """Bounding boxes with negative mins must parse (reference clap sets
+    allow_hyphen_values, main.rs:209)."""
+    rc = main(["-i", str(ds / "las"), "--bounds", "-100;-100;-100;100;100;100",
+               "--block-size", "16384"])
+    assert rc == 0
+    assert "Found 0 matching points" in capsys.readouterr().out
