@@ -297,8 +297,11 @@ def run_query(
             timer.counts["index_built_files"] += 1
 
     # points actually scanned = points of files that survived the header
-    # prefilter (skipped files cost only a header read)
+    # prefilter (skipped files cost only a header read), minus points of
+    # blocks the sidecar index pruned (skipped or counted without IO) so
+    # indexed runs don't overstate Mpts/s
     points_scanned = sum(readers[i].point_count for i in active)
+    points_scanned -= timer.counts.get("index_pruned_points", 0)
     for r in readers:
         r.close()
     match_count, hits, output_files = result
@@ -337,7 +340,7 @@ def _run_count(
 
     tasks = []
     indexed_total = 0  # points of CONTAINED blocks: counted with zero IO
-    skipped_blocks = contained_blocks = 0
+    skipped_blocks = contained_blocks = pruned_points = 0
     for i in active:
         n = readers[i].point_count
         idx_info = block_index.get(i)
@@ -349,10 +352,12 @@ def _run_count(
                 cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
                 if cls == DISJOINT:
                     skipped_blocks += 1
+                    pruned_points += stop - start
                     continue
                 if cls == CONTAINED:
                     indexed_total += stop - start
                     contained_blocks += 1
+                    pruned_points += stop - start
                     continue
             elif idx_info is not None and plan.classification is not None:
                 if not class_present(
@@ -360,11 +365,13 @@ def _run_count(
                     plan.classification.classification,
                 ):
                     skipped_blocks += 1
+                    pruned_points += stop - start
                     continue
             tasks.append((i, b, start, stop))
     if skipped_blocks or contained_blocks:
         timer.counts["index_skipped_blocks"] += skipped_blocks
         timer.counts["index_contained_blocks"] += contained_blocks
+        timer.counts["index_pruned_points"] += pruned_points
 
     if is_time:
         # f64 GPS times: host-side predicate (TPUs have no f64); the decode
@@ -533,11 +540,13 @@ def _run_collect(
                     cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
                     if cls == DISJOINT:
                         timer.counts["index_skipped_blocks"] += 1
+                        timer.counts["index_pruned_points"] += stop - start
                         continue
                     if cls == CONTAINED and density is None:
                         # every point in the block matches: no device pass
                         file_indices.append(np.arange(start, stop, dtype=np.int64))
                         timer.counts["index_contained_blocks"] += 1
+                        timer.counts["index_pruned_points"] += stop - start
                         continue
                 elif idx_info is not None and plan.classification is not None:
                     if not class_present(
@@ -545,6 +554,7 @@ def _run_collect(
                         plan.classification.classification,
                     ):
                         timer.counts["index_skipped_blocks"] += 1
+                        timer.counts["index_pruned_points"] += stop - start
                         continue
                 tasks.append((file_idx, b, start, stop))
 

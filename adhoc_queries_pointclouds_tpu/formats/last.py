@@ -80,6 +80,13 @@ class LastFile:
         self.path = Path(path)
         self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
         self.header = parse_las_header(self._mm[:512].tobytes())
+        h = self.header
+        end = h.offset_to_point_data + h.point_count * h.point_record_length
+        if end > self._mm.size:
+            raise ValueError(
+                f"{self.path}: header claims {h.point_count} points "
+                f"({end} bytes) but file has {self._mm.size}"
+            )
         self._layout = {
             name: (dtype, off, comps)
             for name, dtype, off, comps in field_layout(self.header.point_format)
@@ -104,6 +111,11 @@ class LastFile:
         lo = block_start + start * itemsize
         hi = block_start + stop * itemsize
         arr = np.frombuffer(self._mm[lo:hi], dtype=dtype)
+        if arr.size != (stop - start) * comps:
+            raise ValueError(
+                f"{self.path}: column {name!r} [{start}:{stop}] truncated "
+                f"({arr.size} of {(stop - start) * comps} values)"
+            )
         if comps > 1:
             arr = arr.reshape(-1, comps)
         return arr

@@ -15,6 +15,17 @@
 //
 // Interop note: self-roundtrip (our writer -> our reader) is exact and
 // tested; decoding third-party LAZ files is spec-faithful best effort.
+//
+// Attribution: the LASzip bitstream format — the arithmetic-coder constants,
+// context model names and sizes (e.g. m_changed_values, ic_dx(32,2)/
+// ic_dy(32,22)/ic_z(32,20), number_return_map/level, StreamingMedian5) —
+// was designed by Martin Isenburg and is specified by the open-source
+// LASzip library (https://github.com/LASzip/LASzip, Apache License 2.0).
+// Those model sizes and context rules ARE the bitstream format: any
+// conforming codec must reproduce them. This file is an independent
+// implementation written for SoA/columnar output and thread-parallel chunk
+// decode, but its algorithmic structure necessarily follows the LASzip
+// specification and credit belongs to its authors.
 
 #include <cstdint>
 #include <cstring>

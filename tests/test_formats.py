@@ -229,6 +229,25 @@ def test_truncated_las_rejected(tmp_path):
         LasFile(tmp_path / "trunc.las")
 
 
+def test_truncated_last_rejected(tmp_path):
+    """A short .last must fail open, not silently zero-pad columns: padding
+    zeros would count as real class-0 points (exactness invariant)."""
+    from adhoc_queries_pointclouds_tpu.formats.last import LastFile
+
+    cloud = synth.make_cloud(1000, seed=3)
+    path = tmp_path / "full.last"
+    synth.write_cloud_last(cloud, path)
+    data = path.read_bytes()
+    trunc = tmp_path / "trunc.last"
+    trunc.write_bytes(data[: len(data) - 2048])
+    with pytest.raises(ValueError, match="header claims"):
+        LastFile(trunc)
+    # intact file still opens and column sizes check out
+    f = LastFile(path)
+    assert f.column("classification").shape == (1000,)
+    f.close()
+
+
 @pytest.mark.parametrize("name,data", [
     ("zeros", b"\x00" * 300_000),
     ("ones_run", b"\xff" * 70_000 + b"ab" * 10 + b"\xff" * 70_000),
