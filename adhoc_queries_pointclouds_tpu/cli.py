@@ -137,9 +137,11 @@ def cmd_query(args: argparse.Namespace) -> int:
             impl=args.impl,
             n_devices=args.devices,
             workers=args.workers,
-            keep_hits=args.print_points,
             keep_going=args.keep_going,
             use_index=not args.no_index,
+            # --print-points streams each hit as it is found (reference
+            # StdOutCollector); nothing is buffered in RAM
+            print_stream=sys.stdout if args.print_points else None,
             **kwargs,
         )
 
@@ -152,17 +154,6 @@ def cmd_query(args: argparse.Namespace) -> int:
     else:
         result = execute()
     print(f"Searching {result.files_searched} files...")
-    if args.print_points:
-        for hits in result.hits:
-            for i in range(hits.count):
-                p = hits.position_world[i]
-                c = hits.color[i]
-                print(
-                    f"Found point: ({p[0]:.3f}, {p[1]:.3f}, {p[2]:.3f}) "
-                    f"class={hits.classification[i]} "
-                    f"rgb=({c[0]}, {c[1]}, {c[2]}) "
-                    f"intensity={hits.intensity[i]}"
-                )
     if plan.output_dir is not None:
         for f in result.output_files:
             print(f"Wrote {f}")

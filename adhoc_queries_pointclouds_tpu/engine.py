@@ -38,16 +38,16 @@ if not os.environ.get("AQPC_NO_COMPILE_CACHE"):
     except Exception:
         pass
 
-from .formats import is_valid_file, open_point_cloud, write_las
+from .formats import is_valid_file, open_point_cloud
 from .models.query import QueryPlan
 from .ops import compact, density as density_ops, predicate
 from .parallel import mesh as mesh_mod
 from .parallel.pipeline import BlockFeeder
+from .sinks import FileHits, HitEmitter, concat_hits, empty_hits, gather_hits
 from .utils.aabb import AABB, clamp_bounds_to_i32, local_query_bounds
 from .utils.timing import StageTimer
 
 DEFAULT_BLOCK_SIZE = 1 << 21  # 2M points: 24 MiB of xyz per block
-HIT_ATTRS = ("position", "classification", "color", "intensity")
 
 # Max device steps in flight. >1 overlaps H2D transfer of the next batch
 # with the current scan — the right setting on a real TPU-VM (PCIe-attached
@@ -81,21 +81,6 @@ def get_total_bounds(readers) -> AABB:
 
 
 @dataclasses.dataclass
-class FileHits:
-    """Materialized matching points of one input file."""
-
-    file_idx: int
-    position_world: np.ndarray  # (n, 3) f64
-    classification: np.ndarray  # (n,) u8
-    color: np.ndarray  # (n, 3) u16
-    intensity: np.ndarray  # (n,) u16
-
-    @property
-    def count(self) -> int:
-        return len(self.position_world)
-
-
-@dataclasses.dataclass
 class QueryResult:
     match_count: int
     hits: list[FileHits]
@@ -115,58 +100,6 @@ class QueryResult:
         return self.points_scanned / 1e6 / max(self.elapsed_seconds, 1e-12)
 
 
-def _gather_hits(reader, indices: np.ndarray, file_idx: int) -> FileHits:
-    attrs = reader.take(indices, HIT_ATTRS)
-    pos_world = attrs["position"].astype(np.float64) * np.asarray(
-        reader.header.scale
-    ) + np.asarray(reader.header.offset)
-    return FileHits(
-        file_idx=file_idx,
-        position_world=pos_world,
-        classification=np.asarray(attrs["classification"], np.uint8),
-        color=np.asarray(attrs["color"], np.uint16).reshape(-1, 3),
-        intensity=np.asarray(attrs["intensity"], np.uint16),
-    )
-
-
-def _empty_hits(file_idx: int) -> FileHits:
-    return FileHits(
-        file_idx,
-        np.empty((0, 3), np.float64),
-        np.empty(0, np.uint8),
-        np.empty((0, 3), np.uint16),
-        np.empty(0, np.uint16),
-    )
-
-
-class _Dumper:
-    """LAS write-back of collected points (dump_points.rs FileDumper)."""
-
-    def __init__(self, output_dir: Path | None):
-        self.output_dir = output_dir
-        self.files: list[Path] = []
-        if output_dir is not None:
-            output_dir = Path(output_dir)
-            if not output_dir.exists():
-                raise FileNotFoundError(f"Path {output_dir} does not exist!")
-            if not output_dir.is_dir():
-                raise NotADirectoryError(f"Path {output_dir} is no directory!")
-
-    def dump(self, hits: FileHits) -> None:
-        if self.output_dir is None or hits.count == 0:
-            return
-        path = Path(self.output_dir) / f"matching_points_{len(self.files)}.las"
-        write_las(
-            path,
-            hits.position_world,
-            classification=hits.classification,
-            color=hits.color,
-            intensity=hits.intensity,
-            point_format=2,
-        )
-        self.files.append(path)
-
-
 def run_query(
     input_path: str | Path,
     plan: QueryPlan,
@@ -179,12 +112,20 @@ def run_query(
     keep_hits: bool = False,
     keep_going: bool = False,
     use_index: bool = True,
+    print_stream=None,
 ) -> QueryResult:
     """Run one query plan over a file or directory.
 
     keep_going: skip unreadable files with a warning instead of aborting the
     whole query (the reference aborts on any file error, main.rs:161-163).
+    print_stream: stream matching points here as they are found (the
+    reference's StdOutCollector, collect_points.rs:46-70) — bounded memory,
+    unlike keep_hits. Defaults to sys.stdout when plan.print_points is set.
     """
+    if print_stream is None and plan.print_points:
+        import sys
+
+        print_stream = sys.stdout
     timer = StageTimer()
     files = discover_files(input_path)
     if not files:
@@ -280,9 +221,10 @@ def run_query(
     if plan.collects_points:
         result = _run_collect(
             plan, files, readers, active, file_bounds, grid,
-            block_size=block_size, workers=workers, prefetch=prefetch,
+            block_size=block_size, impl=impl, n_devices=n_devices,
+            workers=workers, prefetch=prefetch,
             timer=timer, keep_hits=keep_hits, block_index=file_indices_meta,
-            index_collectors=index_collectors,
+            index_collectors=index_collectors, print_stream=print_stream,
         )
     else:
         result = _run_count(
@@ -373,27 +315,24 @@ def _run_count(
         timer.counts["index_contained_blocks"] += contained_blocks
         timer.counts["index_pruned_points"] += pruned_points
 
-    if is_time:
-        # f64 GPS times: host-side predicate (TPUs have no f64); the decode
-        # pipeline still parallelizes across blocks. Half-open [start, end)
-        # like the reference's Range<f64> stub (las.rs:332-339).
-        t0, t1 = plan.time_range.start, plan.time_range.end
-        total = 0
-        with timer.stage("scan"):
-            def count_block(args):
-                file_idx, _b, start, stop = args
-                gps = readers[file_idx].column("gps_time", start, stop)
-                return int(np.count_nonzero((gps >= t0) & (gps < t1)))
-
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-                total = sum(pool.map(count_block, tasks))
-        return total, [], []
-
     index_collectors = index_collectors or {}
 
-    if is_bounds:
+    if is_time:
+        # f64 GPS times run on device through the order-preserving
+        # (hi, lo) int32 split encoding — exact f64 range semantics with
+        # pure int32 compares (predicate.encode_f64_sortable). Half-open
+        # [start, end) like the reference's Range<f64> stub (las.rs:332-339).
+        q_enc = np.asarray(
+            predicate.encode_f64_scalar(plan.time_range.start)
+            + predicate.encode_f64_scalar(plan.time_range.end),
+            np.int32,
+        )
+
+        def load(file_idx, start, stop):
+            gps = readers[file_idx].column("gps_time", start, stop)
+            th, tl = predicate.encode_f64_sortable(gps)
+            return {"th": th, "tl": tl}
+    elif is_bounds:
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
             collector = index_collectors.get(file_idx)
@@ -428,21 +367,26 @@ def _run_count(
 
     def flush(batch):
         pad = rows_per_step - len(batch)
+        nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
         if is_bounds:
             xs = np.stack([t.columns["x"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
             ys = np.stack([t.columns["y"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
             zs = np.stack([t.columns["z"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
             los = np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad)
             his = np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad)
-            nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
             pending.append(
                 mesh_mod.sharded_bbox_count(mesh, xs, ys, zs, los, his, nvs, impl=impl)
             )
+        elif is_time:
+            t_pad = np.zeros(block_size, np.int32)
+            ths = np.stack([t.columns["th"] for t in batch] + [t_pad] * pad)
+            tls = np.stack([t.columns["tl"] for t in batch] + [t_pad] * pad)
+            qs = np.tile(q_enc, (rows_per_step, 1))
+            pending.append(mesh_mod.sharded_time_count(mesh, ths, tls, qs, nvs))
         else:
             cls_pad = np.zeros(block_size, np.uint8)
             clss = np.stack([t.columns["cls"] for t in batch] + [cls_pad] * pad)
             targets = np.full(rows_per_step, plan.classification.classification, np.int32)
-            nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
             pending.append(mesh_mod.sharded_class_count(mesh, clss, targets, nvs))
         drain(MAX_INFLIGHT_STEPS - 1)
 
@@ -466,14 +410,280 @@ def _run_count(
 
 def _run_collect(
     plan, files, readers, active, file_bounds, grid, *,
-    block_size, workers, prefetch, timer, keep_hits, block_index=None,
-    index_collectors=None,
+    block_size, impl, n_devices, workers, prefetch, timer, keep_hits,
+    block_index=None, index_collectors=None, print_stream=None,
 ):
+    """Collect-path driver: density goes to the grid-sampling pipeline,
+    everything else through the sharded batched compaction path."""
+    emitter = HitEmitter(
+        readers,
+        output_dir=plan.output_dir,
+        print_stream=print_stream,
+        keep_hits=keep_hits,
+    )
+    if plan.density is not None:
+        _run_density(
+            plan, readers, active, file_bounds, grid, emitter,
+            block_size=block_size, workers=workers, prefetch=prefetch,
+            timer=timer, block_index=block_index,
+            index_collectors=index_collectors,
+        )
+    else:
+        _run_collect_mesh(
+            plan, readers, active, file_bounds, emitter,
+            block_size=block_size, n_devices=n_devices,
+            workers=workers, prefetch=prefetch, timer=timer,
+            block_index=block_index, index_collectors=index_collectors,
+        )
+    return emitter.total, emitter.all_hits, emitter.output_files
+
+
+def _run_collect_mesh(
+    plan, readers, active, file_bounds, emitter, *,
+    block_size, n_devices, workers, prefetch, timer,
+    block_index=None, index_collectors=None,
+):
+    """Mesh-parallel streaming collect.
+
+    The reference runs every query type through the same rayon fan-out
+    (main.rs:146-183); here collect rides the same D-chip x K-block batched
+    dispatch as the count path: one sharded step fuses the predicate with
+    per-block index compaction (counts + cap-bounded index buffers), so
+    there is no per-block host round trip. Blocks whose hit count exceeds
+    the current cap are retried once with a power-of-two bucket, and the cap
+    adapts upward so steady state is a single pass. Hits stream to the
+    emitter in file order as each step's results resolve — peak host memory
+    is O(gather chunk), never O(total hits).
+    """
+    from collections import deque
+
+    from .index import CONTAINED, DISJOINT, class_present, classify_block
+
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
-    dumper = _Dumper(plan.output_dir)
-    all_hits: list[FileHits] = []
-    total = 0
+    kind = "bbox" if is_bounds else ("time" if is_time else "class")
+    mesh = mesh_mod.make_mesh(n_devices)
+    d = mesh.devices.size
+    blocks_per_step = int(os.environ.get("AQPC_BLOCKS_PER_STEP", "4"))
+    rows_per_step = d * max(1, blocks_per_step)
+    block_index = block_index or {}
+    index_collectors = index_collectors or {}
+
+    if is_time:
+        q_enc = np.asarray(
+            predicate.encode_f64_scalar(plan.time_range.start)
+            + predicate.encode_f64_scalar(plan.time_range.end),
+            np.int32,
+        )
+
+    # Ordered per-file emission plan: "all" items are index-CONTAINED blocks
+    # (every point matches, no device pass) interleaved in position with the
+    # scanned blocks so hits still stream out in file order.
+    emit_queue: dict[int, deque] = {i: deque() for i in active}
+    tasks = []
+    for i in active:
+        n = readers[i].point_count
+        idx_info = block_index.get(i)
+        for b in range((n + block_size - 1) // block_size):
+            start = b * block_size
+            stop = min(start + block_size, n)
+            if idx_info is not None and is_bounds:
+                lo, hi = file_bounds[i]
+                cls_b = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+                if cls_b == DISJOINT:
+                    timer.counts["index_skipped_blocks"] += 1
+                    timer.counts["index_pruned_points"] += stop - start
+                    continue
+                if cls_b == CONTAINED:
+                    emit_queue[i].append(("all", start, stop))
+                    timer.counts["index_contained_blocks"] += 1
+                    timer.counts["index_pruned_points"] += stop - start
+                    continue
+            elif idx_info is not None and plan.classification is not None:
+                if not class_present(
+                    idx_info[2], idx_info[0], start, stop,
+                    plan.classification.classification,
+                ):
+                    timer.counts["index_skipped_blocks"] += 1
+                    timer.counts["index_pruned_points"] += stop - start
+                    continue
+            emit_queue[i].append(("scan",))
+            tasks.append((i, b, start, stop))
+
+    if is_bounds:
+        def load(file_idx, start, stop):
+            pos = readers[file_idx].column("position", start, stop)
+            collector = index_collectors.get(file_idx)
+            if collector is not None:
+                collector.update(start, pos)
+            return {
+                "x": np.ascontiguousarray(pos[:, 0]),
+                "y": np.ascontiguousarray(pos[:, 1]),
+                "z": np.ascontiguousarray(pos[:, 2]),
+            }
+    elif is_time:
+        def load(file_idx, start, stop):
+            gps = readers[file_idx].column("gps_time", start, stop)
+            th, tl = predicate.encode_f64_sortable(gps)
+            return {"th": th, "tl": tl}
+    else:
+        def load(file_idx, start, stop):
+            return {
+                "cls": np.ascontiguousarray(
+                    readers[file_idx].column("classification", start, stop)
+                )
+            }
+
+    feeder = BlockFeeder(
+        tasks, load, block_size,
+        file_bounds=file_bounds, workers=workers, prefetch=prefetch,
+    )
+
+    # Hit-index buffer cap per block. counts come back exact regardless, so
+    # overflow is detected, retried at the right power-of-two bucket, and
+    # the cap ratchets up — at most log2(block/cap0) recompiles per query.
+    cap = min(int(os.environ.get("AQPC_COLLECT_CAP", "8192")), block_size)
+
+    finalize_order = [i for i in active]
+    next_final = 0  # position in finalize_order of the next unfinalized file
+
+    def finalize_through(file_idx_inclusive):
+        nonlocal next_final
+        while next_final < len(finalize_order) and finalize_order[next_final] <= file_idx_inclusive:
+            i = finalize_order[next_final]
+            q = emit_queue[i]
+            while q:
+                item = q.popleft()
+                if item[0] == "all":
+                    emitter.emit_range(i, item[1], item[2])
+            emitter.finalize_file(i)
+            next_final += 1
+
+    def emit_scan_result(task, local_idx, full=False):
+        i = task.file_idx
+        finalize_through(i - 1)
+        q = emit_queue[i]
+        while q and q[0][0] == "all":
+            _, s, e = q.popleft()
+            emitter.emit_range(i, s, e)
+        if q and q[0][0] == "scan":
+            q.popleft()
+        if full:
+            emitter.emit_range(i, task.start, task.start + task.n_valid)
+        elif local_idx is not None and len(local_idx):
+            emitter.emit_indices(i, local_idx.astype(np.int64) + task.start)
+
+    def retry_block(task, count):
+        cap2 = compact.pow2_bucket(count, block_size)
+        nv = jnp.asarray(task.n_valid, jnp.int32)
+        if kind == "bbox":
+            idx2 = compact.bbox_compact(
+                jnp.asarray(task.columns["x"]), jnp.asarray(task.columns["y"]),
+                jnp.asarray(task.columns["z"]),
+                jnp.asarray(task.lo), jnp.asarray(task.hi), nv, cap=cap2,
+            )
+        elif kind == "time":
+            idx2 = compact.time_compact(
+                jnp.asarray(task.columns["th"]), jnp.asarray(task.columns["tl"]),
+                jnp.asarray(q_enc), nv, cap=cap2,
+            )
+        else:
+            idx2 = compact.class_compact(
+                jnp.asarray(task.columns["cls"]),
+                jnp.asarray(plan.classification.classification, jnp.int32),
+                nv, cap=cap2,
+            )
+        return np.asarray(idx2[:count])
+
+    pending = deque()
+
+    def flush(batch):
+        pad = rows_per_step - len(batch)
+        nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
+        if kind == "bbox":
+            zero = np.zeros(block_size, np.int32)
+            arrays = (
+                np.stack([t.columns["x"] for t in batch] + [zero] * pad),
+                np.stack([t.columns["y"] for t in batch] + [zero] * pad),
+                np.stack([t.columns["z"] for t in batch] + [zero] * pad),
+                np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad),
+                np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad),
+                nvs,
+            )
+        elif kind == "time":
+            zero = np.zeros(block_size, np.int32)
+            arrays = (
+                np.stack([t.columns["th"] for t in batch] + [zero] * pad),
+                np.stack([t.columns["tl"] for t in batch] + [zero] * pad),
+                np.tile(q_enc, (rows_per_step, 1)),
+                nvs,
+            )
+        else:
+            zero = np.zeros(block_size, np.uint8)
+            arrays = (
+                np.stack([t.columns["cls"] for t in batch] + [zero] * pad),
+                np.full(rows_per_step, plan.classification.classification, np.int32),
+                nvs,
+            )
+        counts_dev, idx_dev = mesh_mod.sharded_collect(mesh, kind, arrays, cap)
+        pending.append((batch, counts_dev, idx_dev, cap))
+        drain(MAX_INFLIGHT_STEPS - 1)
+
+    def process(batch, counts_dev, idx_dev, cap_used):
+        nonlocal cap
+        counts = np.asarray(counts_dev)[: len(batch)]
+        need_idx = any(
+            0 < int(c) < batch[j].n_valid and int(c) <= cap_used
+            for j, c in enumerate(counts)
+        )
+        idx_np = np.asarray(idx_dev) if need_idx else None
+        for j, task in enumerate(batch):
+            c = int(counts[j])
+            if c == 0:
+                emit_scan_result(task, None)
+            elif c == task.n_valid:
+                # whole block matches: indices are implied, skip the fetch
+                emit_scan_result(task, None, full=True)
+            elif c <= cap_used:
+                emit_scan_result(task, idx_np[j, :c])
+            else:
+                emit_scan_result(task, retry_block(task, c))
+        m = int(counts.max()) if len(counts) else 0
+        if m > cap:
+            cap = compact.pow2_bucket(m, block_size)
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            process(*pending.popleft())
+
+    with timer.stage("scan"):
+        batch = []
+        for task in feeder:
+            batch.append(task)
+            if len(batch) == rows_per_step:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
+        drain(0)
+        if active:
+            finalize_through(max(active))
+
+
+def _run_density(
+    plan, readers, active, file_bounds, grid, emitter, *,
+    block_size, workers, prefetch, timer,
+    block_index=None, index_collectors=None,
+):
+    """Grid-sampling (max-density) collection."""
+    is_bounds = plan.bounds is not None
+    is_time = plan.time_range is not None
+    density = plan.density
+    scope = density.scope
+    index_collectors = index_collectors or {}
+    block_index = block_index or {}
+
+    from .index import DISJOINT, class_present, classify_block
 
     def predicate_mask_dev(task, cols_dev):
         nv = jnp.asarray(task.n_valid, jnp.int32)
@@ -483,8 +693,8 @@ def _run_collect(
                 jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
             )
         if is_time:
-            # host f64 predicate (no TPU f64); mask moves to device only
-            # when density needs it there
+            # host f64 predicate; the mask moves to device where the
+            # density kernel needs it
             gps = task.columns["gps"]
             m = (gps >= plan.time_range.start) & (gps < plan.time_range.end)
             m[task.n_valid :] = False
@@ -495,22 +705,16 @@ def _run_collect(
             nv,
         )
 
-    density = plan.density
-    scope = density.scope if density else None
-
-    index_collectors = index_collectors or {}
-
     def load(file_idx, start, stop):
         cols = {}
         r = readers[file_idx]
-        if is_bounds or density is not None:
-            pos = r.column("position", start, stop)
-            collector = index_collectors.get(file_idx)
-            if collector is not None:
-                collector.update(start, pos)
-            cols["x"] = np.ascontiguousarray(pos[:, 0])
-            cols["y"] = np.ascontiguousarray(pos[:, 1])
-            cols["z"] = np.ascontiguousarray(pos[:, 2])
+        pos = r.column("position", start, stop)
+        collector = index_collectors.get(file_idx)
+        if collector is not None:
+            collector.update(start, pos)
+        cols["x"] = np.ascontiguousarray(pos[:, 0])
+        cols["y"] = np.ascontiguousarray(pos[:, 1])
+        cols["z"] = np.ascontiguousarray(pos[:, 2])
         if is_time:
             cols["gps"] = np.ascontiguousarray(r.column("gps_time", start, stop))
         elif not is_bounds:
@@ -519,16 +723,11 @@ def _run_collect(
 
     global_state: np.ndarray | None = None
 
-    from .index import CONTAINED, DISJOINT, class_present, classify_block
-
-    block_index = block_index or {}
-
     with timer.stage("scan"):
         for file_idx in active:
             r = readers[file_idx]
             n = r.point_count
             file_state: np.ndarray | None = None
-            file_indices: list[np.ndarray] = []
 
             idx_info = block_index.get(file_idx)
             tasks = []
@@ -537,15 +736,9 @@ def _run_collect(
                 stop = min(start + block_size, n)
                 if idx_info is not None and is_bounds:
                     lo, hi = file_bounds[file_idx]
-                    cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
-                    if cls == DISJOINT:
+                    cls_b = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+                    if cls_b == DISJOINT:
                         timer.counts["index_skipped_blocks"] += 1
-                        timer.counts["index_pruned_points"] += stop - start
-                        continue
-                    if cls == CONTAINED and density is None:
-                        # every point in the block matches: no device pass
-                        file_indices.append(np.arange(start, stop, dtype=np.int64))
-                        timer.counts["index_contained_blocks"] += 1
                         timer.counts["index_pruned_points"] += stop - start
                         continue
                 elif idx_info is not None and plan.classification is not None:
@@ -562,114 +755,40 @@ def _run_collect(
                 tasks, load, block_size,
                 file_bounds=file_bounds, workers=workers, prefetch=prefetch,
             )
-            params = grid.device_params(r.header.scale, r.header.offset) if grid else None
+            params = grid.device_params(r.header.scale, r.header.offset)
 
             for task in feeder:
                 cols_dev = {k: jnp.asarray(v) for k, v in task.columns.items()}
-                if density is not None:
-                    mask = predicate_mask_dev(task, cols_dev)
-                    winners = density_ops.block_grid_sample_masked(
-                        cols_dev["x"], cols_dev["y"], cols_dev["z"],
-                        mask, task.start, task.n_valid, params,
-                    )
-                    if scope == "file":
-                        file_state = density_ops.merge_winners_host(
-                            file_state, winners, file_idx
-                        )
-                    else:
-                        global_state = density_ops.merge_winners_host(
-                            global_state, winners, file_idx
-                        )
-                else:
-                    # pass 1: fused count (no mask materialized in HBM);
-                    # pass 2 only for blocks with hits (selective queries
-                    # skip most blocks entirely)
-                    nv = jnp.asarray(task.n_valid, jnp.int32)
-                    if is_bounds:
-                        cnt = int(predicate.bbox_count(
-                            cols_dev["x"], cols_dev["y"], cols_dev["z"],
-                            jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
-                        ))
-                    elif is_time:
-                        gps = task.columns["gps"][: task.n_valid]
-                        cnt = int(np.count_nonzero(
-                            (gps >= plan.time_range.start) & (gps < plan.time_range.end)
-                        ))
-                    else:
-                        cnt = int(predicate.class_count(
-                            cols_dev["cls"],
-                            jnp.asarray(plan.classification.classification, jnp.int32),
-                            nv,
-                        ))
-                    if cnt:
-                        cap = compact.pow2_bucket(cnt, block_size)
-                        if is_bounds:
-                            idx = compact.bbox_compact(
-                                cols_dev["x"], cols_dev["y"], cols_dev["z"],
-                                jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
-                                cap=cap,
-                            )
-                        elif is_time:
-                            mask = predicate_mask_dev(task, cols_dev)
-                            idx, _ = compact.compact_indices(mask, cap=cap)
-                        else:
-                            idx = compact.class_compact(
-                                cols_dev["cls"],
-                                jnp.asarray(plan.classification.classification, jnp.int32),
-                                nv,
-                                cap=cap,
-                            )
-                        local = np.asarray(idx[:cnt], np.int64)
-                        file_indices.append(local + task.start)
-
-            if density is None:
-                idxs = (
-                    # sorted -> hits come out in file order, like the
-                    # reference's sequential collector pushes
-                    np.sort(np.concatenate(file_indices))
-                    if file_indices
-                    else np.empty(0, np.int64)
+                mask = predicate_mask_dev(task, cols_dev)
+                winners = density_ops.block_grid_sample_masked(
+                    cols_dev["x"], cols_dev["y"], cols_dev["z"],
+                    mask, task.start, task.n_valid, params,
                 )
-                hits = _gather_hits(r, idxs, file_idx) if len(idxs) else _empty_hits(file_idx)
-                total += hits.count
-                dumper.dump(hits)
-                if keep_hits:
-                    all_hits.append(hits)
-            elif scope == "file":
-                hits = _winners_to_hits(file_state, r, file_idx)
-                total += hits.count
-                dumper.dump(hits)
-                if keep_hits:
-                    all_hits.append(hits)
+                if scope == "file":
+                    file_state = density_ops.merge_winners_host(
+                        file_state, winners, file_idx
+                    )
+                else:
+                    global_state = density_ops.merge_winners_host(
+                        global_state, winners, file_idx
+                    )
 
-    if density is not None and scope == "global":
+            if scope == "file":
+                emitter.emit_hits(file_idx, _winners_to_hits(file_state, r, file_idx))
+                emitter.finalize_file(file_idx)
+
+    if scope == "global":
         combined: list[FileHits] = []
         if global_state is not None and len(global_state):
             for file_idx in np.unique(global_state["file_idx"]):
                 sub = global_state[global_state["file_idx"] == file_idx]
                 combined.append(_winners_to_hits(sub, readers[file_idx], int(file_idx)))
-        merged = _concat_hits(combined)
-        total += merged.count
-        dumper.dump(merged)
-        if keep_hits:
-            all_hits.append(merged)
-
-    return total, all_hits, dumper.files
+        merged = concat_hits(combined)
+        emitter.emit_hits(-1, merged)
+        emitter.finalize_file(-1)
 
 
 def _winners_to_hits(state: np.ndarray | None, reader, file_idx: int) -> FileHits:
     if state is None or len(state) == 0:
-        return _empty_hits(file_idx)
-    return _gather_hits(reader, np.sort(state["gidx"]), file_idx)
-
-
-def _concat_hits(parts: list[FileHits]) -> FileHits:
-    if not parts:
-        return _empty_hits(-1)
-    return FileHits(
-        file_idx=-1,
-        position_world=np.concatenate([p.position_world for p in parts]),
-        classification=np.concatenate([p.classification for p in parts]),
-        color=np.concatenate([p.color for p in parts]),
-        intensity=np.concatenate([p.intensity for p in parts]),
-    )
+        return empty_hits(file_idx)
+    return gather_hits(reader, np.sort(state["gidx"]), file_idx)

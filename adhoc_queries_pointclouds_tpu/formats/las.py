@@ -317,6 +317,74 @@ class LasFile:
         self._mm = None
 
 
+def writeback_header_math(
+    pmin: np.ndarray, pmax: np.ndarray
+) -> tuple[tuple[float, float, float], tuple[float, float, float]]:
+    """The reference's write-back header derivation
+    (query/src/dump_points.rs:73-89): offset = min corner, one shared scale =
+    next power of ten of max_extent / i32::MAX, clamped to >= 0.001."""
+    offset = tuple(float(v) for v in pmin)
+    max_extent = float((np.asarray(pmax) - np.asarray(pmin)).max())
+    min_scale = max_extent / (2**31 - 1)
+    s = 10.0 ** np.ceil(np.log10(min_scale)) if min_scale > 0 else 0.001
+    s = max(float(s), 0.001)
+    return offset, (s, s, s)
+
+
+def encode_point_records(
+    header: LasHeader,
+    positions_world: np.ndarray,
+    classification: np.ndarray | None = None,
+    color: np.ndarray | None = None,
+    intensity: np.ndarray | None = None,
+) -> np.ndarray:
+    """World-space points -> packed LAS point records for header's format."""
+    positions_world = np.asarray(positions_world, dtype=np.float64).reshape(-1, 3)
+    n = len(positions_world)
+    recs = np.zeros(n, dtype=record_dtype(header.point_format, header.point_record_length))
+    local = np.round(
+        (positions_world - np.asarray(header.offset)) / np.asarray(header.scale)
+    ).astype(np.int64)
+    recs["x"] = local[:, 0].astype(np.int32)
+    recs["y"] = local[:, 1].astype(np.int32)
+    recs["z"] = local[:, 2].astype(np.int32)
+    if classification is not None:
+        recs["classification"] = np.asarray(classification, dtype=np.uint8)
+    if intensity is not None:
+        recs["intensity"] = np.asarray(intensity, dtype=np.uint16)
+    if color is not None and has_color(header.point_format):
+        color = np.asarray(color, dtype=np.uint16).reshape(-1, 3)
+        recs["red"] = color[:, 0]
+        recs["green"] = color[:, 1]
+        recs["blue"] = color[:, 2]
+    return recs
+
+
+def make_writeback_header(
+    n: int,
+    pmin,
+    pmax,
+    *,
+    point_format: int = 2,
+    scale: tuple[float, float, float] | None = None,
+    offset: tuple[float, float, float] | None = None,
+) -> LasHeader:
+    pmin = np.asarray(pmin, np.float64)
+    pmax = np.asarray(pmax, np.float64)
+    auto_offset, auto_scale = writeback_header_math(pmin, pmax)
+    return LasHeader(
+        version=(1, 2),
+        point_format=point_format,
+        point_record_length=RECORD_LENGTH[point_format],
+        point_count=n,
+        offset_to_point_data=_CORE_HEADER_SIZE,
+        scale=scale or auto_scale,
+        offset=offset or auto_offset,
+        min=tuple(pmin),
+        max=tuple(pmax),
+    )
+
+
 def write_las(
     path: str | Path,
     positions_world: np.ndarray,
@@ -331,8 +399,7 @@ def write_las(
     """Write a LAS 1.2 file from world-space positions plus attributes.
 
     When scale/offset are not given, uses the reference write-back header
-    math (query/src/dump_points.rs:73-89): offset = min corner, one shared
-    scale = next power of ten of max_extent / i32::MAX, clamped to >= 0.001.
+    math (query/src/dump_points.rs:73-89) via writeback_header_math.
     """
     positions_world = np.asarray(positions_world, dtype=np.float64).reshape(-1, 3)
     n = len(positions_world)
@@ -340,47 +407,43 @@ def write_las(
         raise ValueError("refusing to write empty LAS file")
     pmin = positions_world.min(axis=0)
     pmax = positions_world.max(axis=0)
-
-    if offset is None:
-        offset = tuple(pmin)
-    if scale is None:
-        max_extent = float((pmax - pmin).max())
-        min_scale = max_extent / (2**31 - 1)
-        s = 10.0 ** np.ceil(np.log10(min_scale)) if min_scale > 0 else 0.001
-        s = max(float(s), 0.001)
-        scale = (s, s, s)
-
-    record_length = RECORD_LENGTH[point_format]
-    header = LasHeader(
-        version=(1, 2),
-        point_format=point_format,
-        point_record_length=record_length,
-        point_count=n,
-        offset_to_point_data=_CORE_HEADER_SIZE,
-        scale=scale,
-        offset=offset,
-        min=tuple(pmin),
-        max=tuple(pmax),
+    header = make_writeback_header(
+        n, pmin, pmax, point_format=point_format, scale=scale, offset=offset
     )
-
-    recs = np.zeros(n, dtype=record_dtype(point_format, record_length))
-    local = np.round(
-        (positions_world - np.asarray(offset)) / np.asarray(scale)
-    ).astype(np.int64)
-    recs["x"] = local[:, 0].astype(np.int32)
-    recs["y"] = local[:, 1].astype(np.int32)
-    recs["z"] = local[:, 2].astype(np.int32)
-    if classification is not None:
-        recs["classification"] = np.asarray(classification, dtype=np.uint8)
-    if intensity is not None:
-        recs["intensity"] = np.asarray(intensity, dtype=np.uint16)
-    if color is not None and has_color(point_format):
-        color = np.asarray(color, dtype=np.uint16).reshape(-1, 3)
-        recs["red"] = color[:, 0]
-        recs["green"] = color[:, 1]
-        recs["blue"] = color[:, 2]
-
+    recs = encode_point_records(header, positions_world, classification, color, intensity)
     with open(path, "wb") as f:
         f.write(write_las_header(header))
         f.write(recs.tobytes())
+    return header
+
+
+def write_las_chunked(
+    path: str | Path,
+    chunks,
+    n: int,
+    pmin,
+    pmax,
+    *,
+    point_format: int = 2,
+) -> LasHeader:
+    """Stream a LAS file from an iterator of attribute chunks.
+
+    chunks yields (positions_world, classification, color, intensity)
+    tuples; n / pmin / pmax must describe the full point set (the caller
+    tracks them while spooling) so the header math matches write_las
+    exactly. Peak memory is one chunk — the streaming form of the
+    reference's FileDumper (dump_points.rs:73-106), which buffers all hits.
+    """
+    if n == 0:
+        raise ValueError("refusing to write empty LAS file")
+    header = make_writeback_header(n, pmin, pmax, point_format=point_format)
+    written = 0
+    with open(path, "wb") as f:
+        f.write(write_las_header(header))
+        for pos, cls, col, inten in chunks:
+            recs = encode_point_records(header, pos, cls, col, inten)
+            f.write(recs.tobytes())
+            written += len(recs)
+    if written != n:
+        raise ValueError(f"write_las_chunked: announced {n} points, wrote {written}")
     return header

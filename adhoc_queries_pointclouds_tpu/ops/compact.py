@@ -71,3 +71,29 @@ def class_compact(cls, class_value, n_valid, *, cap: int):
     mask = class_mask_jnp(cls, class_value, n_valid)
     (idx,) = jnp.nonzero(mask, size=cap, fill_value=cls.shape[0])
     return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def time_compact(th, tl, q, n_valid, *, cap: int):
+    """Fused encoded-GPS-time predicate + index compaction."""
+    from .predicate import time_mask_jnp
+
+    mask = time_mask_jnp(th, tl, q, n_valid)
+    (idx,) = jnp.nonzero(mask, size=cap, fill_value=th.shape[0])
+    return idx.astype(jnp.int32)
+
+
+def masked_collect_multi(mask, *, cap: int):
+    """(K, B) mask -> per-block (counts (K,), hit indices (K, cap)).
+
+    counts is the TRUE per-block hit count (independent of cap); indices
+    beyond cap are dropped — the caller detects counts > cap and retries
+    that block with a bigger bucket. Used inside the sharded collect step
+    so a whole D*K-block batch compacts in one dispatch.
+    """
+    n = mask.shape[1]
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    idx = jax.vmap(
+        lambda m: jnp.nonzero(m, size=cap, fill_value=n)[0].astype(jnp.int32)
+    )(mask)
+    return counts, idx

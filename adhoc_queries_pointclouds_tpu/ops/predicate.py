@@ -182,6 +182,71 @@ def class_count_pallas(cls, class_value, n_valid, *, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# GPS-time range predicate on device via order-preserving f64 -> (i32, i32)
+# encoding. TPUs have no fast f64, and the reference's time query compares
+# f64 GPS times (search/las.rs:297-367 stubs). IEEE-754 doubles are totally
+# ordered by their sign-flipped bit pattern, so the host encodes each f64
+# into a lexicographic (hi, lo) int32 pair once (vectorized numpy bit ops),
+# and the device predicate is two exact int32 lexicographic compares — bit
+# -exact f64 semantics with zero floating-point device math.
+# ---------------------------------------------------------------------------
+
+
+def encode_f64_sortable(t) -> tuple:
+    """f64 array -> (hi, lo) int32 arrays, order-preserving.
+
+    enc(a) < enc(b) lexicographically (signed int32) iff a < b as doubles
+    (total order; -0.0 < +0.0 and NaNs sort by payload, which is fine for a
+    range predicate — NaN GPS times are garbage-in-garbage-out, matching
+    what an f64 compare would do for the reference).
+    """
+    import numpy as np
+
+    bits = np.ascontiguousarray(np.asarray(t, np.float64)).view(np.uint64)
+    neg = (bits >> np.uint64(63)).astype(bool)
+    flipped = np.where(neg, ~bits, bits ^ np.uint64(1 << 63))
+    hi = ((flipped >> np.uint64(32)).astype(np.uint32) ^ np.uint32(0x80000000)).view(
+        np.int32
+    )
+    lo = ((flipped & np.uint64(0xFFFFFFFF)).astype(np.uint32) ^ np.uint32(0x80000000)).view(
+        np.int32
+    )
+    return hi, lo
+
+
+def encode_f64_scalar(v: float) -> tuple[int, int]:
+    import numpy as np
+
+    hi, lo = encode_f64_sortable(np.asarray([v], np.float64))
+    return int(hi[0]), int(lo[0])
+
+
+def time_mask_jnp(th, tl, q, n_valid):
+    """Half-open [start, end) on encoded times. q = (q0h, q0l, q1h, q1l)."""
+    idx = jax.lax.iota(jnp.int32, th.shape[0])
+    ge = (th > q[0]) | ((th == q[0]) & (tl >= q[1]))
+    lt = (th < q[2]) | ((th == q[2]) & (tl < q[3]))
+    return ge & lt & (idx < n_valid)
+
+
+def time_mask_jnp_multi(ths, tls, qs, nvs):
+    """(K, B) encoded times + (K, 4) encoded range -> (K, B) bool."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, ths.shape, 1)
+    ge = (ths > qs[:, 0:1]) | ((ths == qs[:, 0:1]) & (tls >= qs[:, 1:2]))
+    lt = (ths < qs[:, 2:3]) | ((ths == qs[:, 2:3]) & (tls < qs[:, 3:4]))
+    return ge & lt & (idx < nvs[:, None])
+
+
+def time_count_jnp_multi(ths, tls, qs, nvs):
+    return jnp.sum(time_mask_jnp_multi(ths, tls, qs, nvs), axis=1, dtype=jnp.int32)
+
+
+def class_mask_jnp_multi(cls, targets, nvs):
+    idx = jax.lax.broadcasted_iota(jnp.int32, cls.shape, 1)
+    return (idx < nvs[:, None]) & (cls.astype(jnp.int32) == targets[:, None])
+
+
+# ---------------------------------------------------------------------------
 # multi-block kernels: K blocks with per-block bounds in ONE dispatch.
 # Streaming queries batch K blocks per chip per step, so dispatch latency
 # (30-40 ms per round trip on a tunneled TPU, ~10 us on local PCIe) is

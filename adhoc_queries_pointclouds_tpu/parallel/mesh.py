@@ -87,6 +87,82 @@ def _class_count_fn(mesh: Mesh, impl: str):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _time_count_fn(mesh: Mesh):
+    def per_device(ths, tls, qs, nv):
+        counts = predicate.time_count_jnp_multi(ths, tls, qs, nv)
+        return jax.lax.psum(jnp.sum(counts, dtype=jnp.int32), "d")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None), P("d")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_time_count(mesh: Mesh, ths, tls, qs, nvalids):
+    """Count encoded-GPS-time range hits across D*K blocks (exact f64
+    semantics via the order-preserving int32 split encoding)."""
+    return _time_count_fn(mesh)(ths, tls, qs, nvalids)
+
+
+# ---------------------------------------------------------------------------
+# sharded collect: one dispatch compacts hit indices of D*K blocks at once.
+# The engine's collect path batches K blocks per chip per step exactly like
+# the count path (reference main.rs:146-183 runs every query type through
+# the same parallel fan-out). Each block's TRUE hit count comes back with a
+# cap-bounded index buffer; blocks whose count exceeds the cap are retried
+# by the caller with a bigger power-of-two bucket.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _collect_fn(mesh: Mesh, kind: str, cap: int):
+    from ..ops import compact
+
+    if kind == "bbox":
+        def per_device(xs, ys, zs, los, his, nv):
+            mask = predicate.bbox_mask_jnp_multi(xs, ys, zs, los, his, nv)
+            return compact.masked_collect_multi(mask, cap=cap)
+
+        in_specs = (P("d", None),) * 5 + (P("d"),)
+    elif kind == "class":
+        def per_device(cls, targets, nv):
+            mask = predicate.class_mask_jnp_multi(cls, targets, nv)
+            return compact.masked_collect_multi(mask, cap=cap)
+
+        in_specs = (P("d", None), P("d"), P("d"))
+    elif kind == "time":
+        def per_device(ths, tls, qs, nv):
+            mask = predicate.time_mask_jnp_multi(ths, tls, qs, nv)
+            return compact.masked_collect_multi(mask, cap=cap)
+
+        in_specs = (P("d", None), P("d", None), P("d", None), P("d"))
+    else:
+        raise ValueError(f"unknown collect kind {kind!r}")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("d"), P("d", None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_collect(mesh: Mesh, kind: str, arrays: tuple, cap: int):
+    """Run the fused predicate+compaction step over D*K stacked blocks.
+
+    arrays: the per-kind operand tuple (see _collect_fn). Returns
+    (counts (D*K,) int32, indices (D*K, cap) int32 padded with block size).
+    """
+    return _collect_fn(mesh, kind, cap)(*arrays)
+
+
 def sharded_bbox_count(mesh: Mesh, xs, ys, zs, los, his, nvalids, impl: str = "auto"):
     """Count bbox hits across D*K blocks, K per device per dispatch. All
     args stacked on axis 0 with leading dim a multiple of the mesh size.

@@ -156,6 +156,105 @@ class TestCollect:
         r.close()
 
 
+class TestCollectMesh:
+    """Mesh-parallel streaming collect: invariance + bounded-memory paths."""
+
+    def test_collect_count_invariant_under_device_count(self, dataset, tmp_path):
+        root, files = dataset
+        oracle = oracle_bbox_count(files["last"], QUERY_BOX)
+        for nd in (1, 2, 8):
+            out = tmp_path / f"nd{nd}"
+            out.mkdir()
+            res = run_query(
+                root / "last",
+                QueryPlan(bounds=BoundsQuery(QUERY_BOX), output_dir=out),
+                block_size=BLOCK,
+                n_devices=nd,
+            )
+            assert res.match_count == oracle, f"collect changed with {nd} devices"
+            written = 0
+            for f in res.output_files:
+                back = LasFile(f)
+                written += back.point_count
+                back.close()
+            assert written == oracle
+
+    def test_collect_exact_with_inflight_pipeline(self, dataset, tmp_path, monkeypatch):
+        """AQPC_INFLIGHT>1 (H2D/scan overlap) must not change results."""
+        import adhoc_queries_pointclouds_tpu.engine as eng
+
+        root, files = dataset
+        oracle = oracle_bbox_count(files["last"], QUERY_BOX)
+        monkeypatch.setattr(eng, "MAX_INFLIGHT_STEPS", 3)
+        res = run_query(
+            root / "last",
+            QueryPlan(bounds=BoundsQuery(QUERY_BOX), output_dir=tmp_path),
+            block_size=BLOCK,
+            keep_hits=True,
+        )
+        assert res.match_count == oracle
+        res2 = run_query(
+            root / "last", QueryPlan(bounds=BoundsQuery(QUERY_BOX)), block_size=BLOCK
+        )
+        assert res2.match_count == oracle
+
+    def test_collect_full_match_streams_with_spool_spill(
+        self, dataset, tmp_path, monkeypatch
+    ):
+        """A query matching ~100% of points must not buffer hits in RAM:
+        force the spool to spill to disk almost immediately and verify the
+        written LAS is still byte-exact complete."""
+        monkeypatch.setenv("AQPC_SPOOL_MB", "0.25")
+        root, files = dataset
+        huge = AABB((-1e9,) * 3, (1e9,) * 3)
+        res = run_query(
+            root / "last",
+            QueryPlan(bounds=BoundsQuery(huge), output_dir=tmp_path),
+            block_size=BLOCK,
+            use_index=False,
+        )
+        total_pts = sum(
+            open_point_cloud(p).point_count for p in files["last"]
+        )
+        assert res.match_count == total_pts
+        written = 0
+        for f in res.output_files:
+            back = LasFile(f)
+            written += back.point_count
+            back.close()
+        assert written == total_pts
+
+    def test_print_points_streams_to_given_stream(self, dataset):
+        import io
+
+        root, files = dataset
+        oracle = oracle_bbox_count(files["last"], QUERY_BOX)
+        buf = io.StringIO()
+        res = run_query(
+            root / "last",
+            QueryPlan(bounds=BoundsQuery(QUERY_BOX), print_points=True),
+            block_size=BLOCK,
+            print_stream=buf,
+        )
+        lines = [l for l in buf.getvalue().splitlines() if l.startswith("Found point:")]
+        assert len(lines) == oracle == res.match_count
+        # spot-check the first point's formatting fields
+        assert "class=" in lines[0] and "rgb=(" in lines[0] and "intensity=" in lines[0]
+
+    def test_collect_overflow_retry_path(self, dataset, tmp_path, monkeypatch):
+        """Tiny initial cap forces the overflow->pow2-retry path."""
+        monkeypatch.setenv("AQPC_COLLECT_CAP", "4")
+        root, files = dataset
+        oracle = oracle_bbox_count(files["last"], QUERY_BOX)
+        res = run_query(
+            root / "last",
+            QueryPlan(bounds=BoundsQuery(QUERY_BOX), output_dir=tmp_path),
+            block_size=BLOCK,
+            keep_hits=True,
+        )
+        assert res.match_count == oracle
+
+
 class TestDensity:
     def _oracle_density(self, paths, bounds, cell, scope="global"):
         """Dict-based SparseGrid oracle (f64, reference semantics)."""

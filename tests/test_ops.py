@@ -275,3 +275,53 @@ class TestMultiBlock:
         for k in range(K):
             oracle = int(np.sum(cls[k, :nvs[k]] == targets[k]))
             assert got[k] == oracle
+
+
+class TestGpsTimeEncoding:
+    """Order-preserving f64 -> (i32, i32) split encoding for device-side
+    GPS-time predicates (exact f64 semantics with int32 compares)."""
+
+    def test_encoding_preserves_total_order(self):
+        import numpy as np
+        from adhoc_queries_pointclouds_tpu.ops.predicate import encode_f64_sortable
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([
+            rng.uniform(-1e9, 1e9, 3000),
+            rng.uniform(-1e-300, 1e-300, 100),  # subnormal-adjacent
+            np.array([0.0, -0.0, 1e-308, -1e-308, np.inf, -np.inf,
+                      1.0, np.nextafter(1.0, 2.0), np.nextafter(1.0, 0.0)]),
+        ])
+        hi, lo = encode_f64_sortable(vals)
+        # lexicographic (hi, lo) order == f64 order (stable total order on
+        # non-NaN; -0.0 sorts before +0.0 which a >=/< range cannot observe
+        # except at the exact boundary 0.0 where -0.0 == 0.0 numerically)
+        key = hi.astype(np.int64) * (1 << 32) + (lo.astype(np.int64) & 0xFFFFFFFF)
+        finite = vals[~np.isnan(vals)]
+        kf = key[~np.isnan(vals)]
+        order_f = np.argsort(finite, kind="stable")
+        order_k = np.argsort(kf, kind="stable")
+        np.testing.assert_array_equal(finite[order_f], finite[order_k])
+
+    def test_range_mask_matches_f64_oracle(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops.predicate import (
+            encode_f64_scalar, encode_f64_sortable, time_mask_jnp,
+        )
+
+        rng = np.random.default_rng(4)
+        t = rng.uniform(0.0, 1e6, 8192)
+        # adversarial: values exactly at the range endpoints
+        t[:4] = [250_000.0, np.nextafter(250_000.0, 0), 600_000.0,
+                 np.nextafter(600_000.0, 0)]
+        th, tl = encode_f64_sortable(t)
+        q = np.asarray(
+            encode_f64_scalar(250_000.0) + encode_f64_scalar(600_000.0), np.int32
+        )
+        got = np.asarray(
+            time_mask_jnp(jnp.asarray(th), jnp.asarray(tl), jnp.asarray(q),
+                          jnp.asarray(len(t), jnp.int32))
+        )
+        oracle = (t >= 250_000.0) & (t < 600_000.0)
+        np.testing.assert_array_equal(got, oracle)
