@@ -2,14 +2,19 @@
 
 Execution model:
 
-  count queries   host decode-ahead feeder -> D blocks/step -> shard_map
+  count queries   host decode-ahead feeder -> D*K blocks/step -> shard_map
                   fused predicate scan per chip -> psum over ICI -> lazy
                   accumulation (one device sync at the very end)
-  collect queries two-pass per block: fused count, then pow2-bucketed index
-                  compaction; attributes of hits are gathered lazily from
-                  the source file (only hit rows are ever decoded)
-  density queries predicate mask -> per-block device segment-min (sort by
-                  cell key) -> sparse host merge; per-file or global scope
+  collect queries same D*K-block sharded step, fused predicate + per-block
+                  index compaction (true counts + cap-bounded buffers,
+                  pow2 retry on overflow); hits stream out in file order,
+                  attributes gathered lazily (only hit rows are decoded)
+  density queries sharded predicate + exact-cell candidate selection
+                  (integer boundary tables; sort-based per-cell leaders +
+                  f32-margin ties), then exact f64 reference math on the few
+                  candidates merged in a sparse host state
+  time queries    f64 GPS times as order-preserving (hi, lo) int32 pairs ->
+                  exact range predicate in pure int32 device compares
 
 File discovery, the bounds/class mutual exclusion, density's fallback to
 dataset total bounds, and the closing MiB/s report all mirror the reference
@@ -424,7 +429,8 @@ def _run_collect(
     if plan.density is not None:
         _run_density(
             plan, readers, active, file_bounds, grid, emitter,
-            block_size=block_size, workers=workers, prefetch=prefetch,
+            block_size=block_size, n_devices=n_devices,
+            workers=workers, prefetch=prefetch,
             timer=timer, block_index=block_index,
             index_collectors=index_collectors,
         )
@@ -672,61 +678,74 @@ def _run_collect_mesh(
 
 def _run_density(
     plan, readers, active, file_bounds, grid, emitter, *,
-    block_size, workers, prefetch, timer,
+    block_size, n_devices, workers, prefetch, timer,
     block_index=None, index_collectors=None,
 ):
-    """Grid-sampling (max-density) collection."""
+    """Grid-sampling (max-density) collection, f64-exact and mesh-parallel.
+
+    Device: one sharded dispatch fuses the query predicate with exact-cell
+    candidate selection for D*K blocks of a file (ops/density.py — interior
+    cells certified against exact integer boundary tables, leaders + f32
+    -error-margin ties + uncertifiable points survive). Host: exact f64
+    reference cell keys and d² for the few candidates per block, merged into
+    the sparse running grid state. Per-file or global scope
+    (main.rs:156 vs 129-133).
+    """
+    from collections import deque
+
+    from .index import class_present, classify_block, DISJOINT
+
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
-    density = plan.density
-    scope = density.scope
-    index_collectors = index_collectors or {}
+    kind = "bbox" if is_bounds else ("time" if is_time else "class")
+    scope = plan.density.scope
+    mesh = mesh_mod.make_mesh(n_devices)
+    d = mesh.devices.size
+    blocks_per_step = int(os.environ.get("AQPC_BLOCKS_PER_STEP", "4"))
+    rows_per_step = d * max(1, blocks_per_step)
     block_index = block_index or {}
+    index_collectors = index_collectors or {}
 
-    from .index import DISJOINT, class_present, classify_block
-
-    def predicate_mask_dev(task, cols_dev):
-        nv = jnp.asarray(task.n_valid, jnp.int32)
-        if is_bounds:
-            return predicate.bbox_mask(
-                cols_dev["x"], cols_dev["y"], cols_dev["z"],
-                jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
-            )
-        if is_time:
-            # host f64 predicate; the mask moves to device where the
-            # density kernel needs it
-            gps = task.columns["gps"]
-            m = (gps >= plan.time_range.start) & (gps < plan.time_range.end)
-            m[task.n_valid :] = False
-            return jnp.asarray(m)
-        return predicate.class_mask(
-            cols_dev["cls"],
-            jnp.asarray(plan.classification.classification, jnp.int32),
-            nv,
+    if is_time:
+        q_enc = np.asarray(
+            predicate.encode_f64_scalar(plan.time_range.start)
+            + predicate.encode_f64_scalar(plan.time_range.end),
+            np.int32,
         )
 
     def load(file_idx, start, stop):
-        cols = {}
         r = readers[file_idx]
         pos = r.column("position", start, stop)
         collector = index_collectors.get(file_idx)
         if collector is not None:
             collector.update(start, pos)
-        cols["x"] = np.ascontiguousarray(pos[:, 0])
-        cols["y"] = np.ascontiguousarray(pos[:, 1])
-        cols["z"] = np.ascontiguousarray(pos[:, 2])
+        cols = {
+            "x": np.ascontiguousarray(pos[:, 0]),
+            "y": np.ascontiguousarray(pos[:, 1]),
+            "z": np.ascontiguousarray(pos[:, 2]),
+        }
         if is_time:
-            cols["gps"] = np.ascontiguousarray(r.column("gps_time", start, stop))
+            th, tl = predicate.encode_f64_sortable(
+                r.column("gps_time", start, stop)
+            )
+            cols["th"], cols["tl"] = th, tl
         elif not is_bounds:
-            cols["cls"] = np.ascontiguousarray(r.column("classification", start, stop))
+            cols["cls"] = np.ascontiguousarray(
+                r.column("classification", start, stop)
+            )
         return cols
 
+    cap = min(int(os.environ.get("AQPC_COLLECT_CAP", "8192")), block_size)
     global_state: np.ndarray | None = None
 
     with timer.stage("scan"):
         for file_idx in active:
             r = readers[file_idx]
             n = r.point_count
+            scale = r.header.scale
+            offset = r.header.offset
+            tables = grid.file_tables(scale, offset)
+            tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
             file_state: np.ndarray | None = None
 
             idx_info = block_index.get(file_idx)
@@ -755,23 +774,125 @@ def _run_density(
                 tasks, load, block_size,
                 file_bounds=file_bounds, workers=workers, prefetch=prefetch,
             )
-            params = grid.device_params(r.header.scale, r.header.offset)
 
-            for task in feeder:
-                cols_dev = {k: jnp.asarray(v) for k, v in task.columns.items()}
-                mask = predicate_mask_dev(task, cols_dev)
-                winners = density_ops.block_grid_sample_masked(
-                    cols_dev["x"], cols_dev["y"], cols_dev["z"],
-                    mask, task.start, task.n_valid, params,
+            def pred_mask_dev(task):
+                nv = jnp.asarray(task.n_valid, jnp.int32)
+                if kind == "bbox":
+                    return predicate.bbox_mask(
+                        jnp.asarray(task.columns["x"]), jnp.asarray(task.columns["y"]),
+                        jnp.asarray(task.columns["z"]),
+                        jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
+                    )
+                if kind == "time":
+                    return predicate.time_mask_jnp(
+                        jnp.asarray(task.columns["th"]),
+                        jnp.asarray(task.columns["tl"]),
+                        jnp.asarray(q_enc), nv,
+                    )
+                return predicate.class_mask(
+                    jnp.asarray(task.columns["cls"]),
+                    jnp.asarray(plan.classification.classification, jnp.int32), nv,
+                )
+
+            def merge_candidates(task, local_idx):
+                nonlocal file_state, global_state
+                if local_idx is None or len(local_idx) == 0:
+                    return
+                xyz = np.stack(
+                    [
+                        task.columns["x"][local_idx],
+                        task.columns["y"][local_idx],
+                        task.columns["z"][local_idx],
+                    ],
+                    axis=1,
+                ).astype(np.float64)
+                world = xyz * np.asarray(scale) + np.asarray(offset)
+                winners = grid.make_winners(
+                    world, local_idx.astype(np.int64) + task.start, file_idx
                 )
                 if scope == "file":
-                    file_state = density_ops.merge_winners_host(
-                        file_state, winners, file_idx
+                    file_state = density_ops.merge_winners_host(file_state, winners)
+                else:
+                    global_state = density_ops.merge_winners_host(global_state, winners)
+
+            def retry_block(task, count):
+                cap2 = compact.pow2_bucket(count, block_size)
+                _, idx2 = density_ops.block_density_candidates(
+                    jnp.asarray(task.columns["x"]), jnp.asarray(task.columns["y"]),
+                    jnp.asarray(task.columns["z"]), pred_mask_dev(task),
+                    task.n_valid, tables_dev, cap=cap2,
+                )
+                return np.asarray(idx2[:count])
+
+            pending = deque()
+
+            def flush(batch):
+                pad = rows_per_step - len(batch)
+                nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
+                zero = np.zeros(block_size, np.int32)
+                xs = np.stack([t.columns["x"] for t in batch] + [zero] * pad)
+                ys = np.stack([t.columns["y"] for t in batch] + [zero] * pad)
+                zs = np.stack([t.columns["z"] for t in batch] + [zero] * pad)
+                if kind == "bbox":
+                    arrays = (
+                        xs, ys, zs,
+                        np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad),
+                        np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad),
+                        nvs,
+                    )
+                elif kind == "time":
+                    arrays = (
+                        xs, ys, zs,
+                        np.stack([t.columns["th"] for t in batch] + [zero] * pad),
+                        np.stack([t.columns["tl"] for t in batch] + [zero] * pad),
+                        np.tile(q_enc, (rows_per_step, 1)),
+                        nvs,
                     )
                 else:
-                    global_state = density_ops.merge_winners_host(
-                        global_state, winners, file_idx
+                    arrays = (
+                        xs, ys, zs,
+                        np.stack(
+                            [t.columns["cls"] for t in batch]
+                            + [np.zeros(block_size, np.uint8)] * pad
+                        ),
+                        np.full(rows_per_step, plan.classification.classification, np.int32),
+                        nvs,
                     )
+                counts_dev, idx_dev = mesh_mod.sharded_density(
+                    mesh, kind, arrays, tables_dev, cap
+                )
+                pending.append((batch, counts_dev, idx_dev, cap))
+                drain(MAX_INFLIGHT_STEPS - 1)
+
+            def process(batch, counts_dev, idx_dev, cap_used):
+                nonlocal cap
+                counts = np.asarray(counts_dev)[: len(batch)]
+                idx_np = np.asarray(idx_dev) if (counts > 0).any() else None
+                for j, task in enumerate(batch):
+                    c = int(counts[j])
+                    if c == 0:
+                        continue
+                    if c <= cap_used:
+                        merge_candidates(task, idx_np[j, :c])
+                    else:
+                        merge_candidates(task, retry_block(task, c))
+                m = int(counts.max()) if len(counts) else 0
+                if m > cap:
+                    cap = compact.pow2_bucket(m, block_size)
+
+            def drain(limit: int):
+                while len(pending) > limit:
+                    process(*pending.popleft())
+
+            batch = []
+            for task in feeder:
+                batch.append(task)
+                if len(batch) == rows_per_step:
+                    flush(batch)
+                    batch = []
+            if batch:
+                flush(batch)
+            drain(0)
 
             if scope == "file":
                 emitter.emit_hits(file_idx, _winners_to_hits(file_state, r, file_idx))

@@ -17,7 +17,7 @@ from .predicate import (  # noqa: F401
 from .compact import compact_indices, pow2_bucket  # noqa: F401
 from .density import (  # noqa: F401
     GridSpec3D,
-    block_grid_sample,
-    block_grid_sample_masked,
+    block_density_candidates,
+    density_candidates_multi,
     merge_winners_host,
 )

@@ -1,25 +1,32 @@
 """Max-density grid sampling: keep the point closest to its cell center.
 
 TPU redesign of the reference's SparseGrid hash map
-(query/src/grid_sampling.rs:49-105): instead of a per-point HashMap
-compare-and-swap, each block is deduplicated on device with a multi-key sort
-(cell_z, cell_xy, dist^2, point_idx) + first-of-run selection — a
-segment-min that needs no data-dependent shapes and no giant dense grid (the
-paper's ca13-XL query spans ~800 M cells, far too many to materialize). The
-few per-block winners are then merged into a sparse running state on the
-host (numpy lexsort), preserving the reference's tie rule: on equal
-distance, the first-inserted point wins (grid_sampling.rs:97 strict <).
+(query/src/grid_sampling.rs:18-105), bit-exact to its f64 semantics.
 
-Cell math runs in f32 on *bmin-relative* local coordinates; with cells many
-thousand int32 units wide, f32's ~6e-8 relative error only matters for
-points within epsilon of a cell boundary (documented parity caveat — the
-reference computes in f64 world space).
+The reference computes, per point, r = (p_world - bmin) * dims / extent in
+f64, truncates (`as u64`, saturating) to a cell, bit-masks each axis into a
+packed u64 key, and keeps the point with the smallest f64 squared distance
+to the *unmasked* cell's center (strict <, so the first-inserted point wins
+ties). TPUs have no fast f64, so the work splits:
 
-Cell indices: cell = floor((p - bmin) * dims / extent) per axis, like
-grid_sampling.rs:51-60. A point exactly on the max face lands in index
-`dims` (the reference casts without clamping, then bit-masks — which wraps
-to cell 0 only when dims is an exact power of two; we keep the honest extra
-boundary cell instead and document the divergence).
+  device (f32/int32, sort-based): assigns each point a cell by binary-
+    refining an f32 estimate against **exact integer boundary tables** (the
+    smallest int32 local coordinate belonging to each cell, computed on the
+    host in f64 — so the device's interior cell assignment is provably equal
+    to the reference's f64 result, not approximately). A 5-key sort
+    (cz, cy, cx, d2_f32, idx) + first-of-run then selects per-cell leaders,
+    and every point within a conservative error margin of its leader —
+    f32's worst case — survives as a *candidate*. Points the tables cannot
+    certify (beyond the grid max face, int32 extremes, giant cells) are
+    flagged straight into the candidate set. The candidate set provably
+    contains every possible f64 winner.
+
+  host (f64, tiny): recomputes the reference's exact cell key and d² for
+    the few candidates per block and merges them into a sparse running
+    state (numpy lexsort segment-min) with the reference tie rule.
+
+So the 12 B/point hot path runs on the TPU and the f64 math only ever
+touches O(cells + epsilon-ties) points — exact parity at device speed.
 """
 
 from __future__ import annotations
@@ -34,165 +41,344 @@ import numpy as np
 from ..utils.aabb import AABB
 
 I32_MAX = np.int32(2**31 - 1)
+I32_MIN = np.int32(-(2**31))
 
 WINNER_DTYPE = np.dtype(
     [
-        ("cz", "<i4"),
-        ("cxy", "<i4"),
-        ("d2", "<f4"),
+        ("key", "<u8"),  # reference bit-packed masked cell key
+        ("d2", "<f8"),  # exact f64 squared distance to the cell center
         ("file_idx", "<i4"),
         ("gidx", "<i8"),
     ]
 )
 
+# conservative relative/absolute margins covering worst-case f32 error in
+# the device d² (see _density_candidates_kernel); ~30x the analytic bound
+EPS_REL = 1e-5
+
 
 @dataclasses.dataclass(frozen=True)
 class GridSpec3D:
-    """Host-side grid geometry: bounds + cell size -> integer cell lattice."""
+    """Host-side grid geometry replicating SparseGrid::new exactly
+    (grid_sampling.rs:18-47): dims = ceil(extent/cell) as u64 (f64 ceil),
+    bits = ceil(log2(dims)) as u64, per-axis masks, <= 64 total bits."""
 
     bounds: AABB
     cell_size: float
     dims: tuple[int, int, int]
+    bits: tuple[int, int, int]
 
     @staticmethod
     def create(bounds: AABB, cell_size: float) -> "GridSpec3D":
-        dims = tuple(
-            max(int(np.ceil(e / cell_size)), 1) for e in bounds.extent
-        )
-        # cell_xy = cx + (dims_x+1) * cy must fit in int32 (z is a separate
-        # sort key, so only the x*y plane is linearized).
-        if (dims[0] + 1) * (dims[1] + 1) >= 2**31:
+        ext = np.asarray(bounds.extent, np.float64)
+        ncf = np.ceil(ext / float(cell_size))  # f64, may be 0 or negative
+        dims = tuple(int(max(v, 0.0)) for v in ncf)  # `as u64` saturates
+        bits = []
+        for v in ncf:
+            b = np.ceil(np.log2(v)) if v > 0 else -np.inf  # log2(0) = -inf
+            bits.append(int(max(b, 0.0)) if np.isfinite(b) else 0)
+        if sum(bits) > 64:
             raise ValueError(
-                f"Too many cells ({dims[0]}*{dims[1]}*{dims[2]}) in grid — "
-                "x*y plane exceeds int32 linearization"
+                f"Too many cells ({dims[0]}*{dims[1]}*{dims[2]}) in SparseGrid! "
+                "The number of cells exceeds the capacity of a u64 index!"
             )
-        return GridSpec3D(bounds, float(cell_size), dims)
+        if max(dims) > (1 << 23):
+            # device boundary tables are O(dims) int32 per axis; 8M cells on
+            # one axis = 32 MiB/axis. The reference tolerates absurd dims
+            # (the key wraps); we draw the line where tables stop being sane.
+            raise ValueError(
+                f"grid dims {dims} too large for device tables (max 2^23/axis)"
+            )
+        return GridSpec3D(bounds, float(cell_size), dims, tuple(bits))
 
-    def device_params(
+    @property
+    def masks(self) -> tuple[int, int, int]:
+        return tuple((1 << b) - 1 for b in self.bits)
+
+    # -- exact reference math (host f64) ------------------------------------
+
+    def exact_cells(self, world: np.ndarray) -> np.ndarray:
+        """(n, 3) world f64 -> (n, 3) uint64 unmasked cells, exactly
+        replicating grid_sampling.rs:51-60 incl. `as u64` saturation."""
+        bmin = np.asarray(self.bounds.min, np.float64)
+        ext = np.asarray(self.bounds.extent, np.float64)
+        dims_f = np.asarray(self.dims, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = (world - bmin) * dims_f / ext
+        # Rust `as u64`: NaN -> 0, negative -> 0, >= 2^64 -> u64::MAX
+        r = np.where(np.isnan(r), 0.0, np.maximum(r, 0.0))
+        sat = r >= 2.0**64
+        cells = np.where(sat, 0.0, r).astype(np.uint64)
+        return np.where(sat, np.uint64(0xFFFFFFFFFFFFFFFF), cells)
+
+    def exact_keys_d2(
+        self, world: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(n, 3) world f64 -> (packed masked u64 keys, exact f64 d²).
+
+        d² is measured to the *unmasked* cell's center — the reference masks
+        only the HashMap key, not the center (grid_sampling.rs:66-83)."""
+        cells = self.exact_cells(world)
+        bmin = np.asarray(self.bounds.min, np.float64)
+        center = (cells.astype(np.float64) + 0.5) * self.cell_size + bmin
+        d = world - center
+        d2 = np.einsum("ij,ij->i", d, d)
+        mx, my, mz = (np.uint64(m) for m in self.masks)
+        xb, yb = np.uint64(self.bits[0]), np.uint64(self.bits[0] + self.bits[1])
+        key = (
+            (cells[:, 0] & mx)
+            | ((cells[:, 1] & my) << xb)
+            | ((cells[:, 2] & mz) << yb)
+        )
+        return key, d2
+
+    def make_winners(
+        self, world: np.ndarray, gidx: np.ndarray, file_idx: int
+    ) -> np.ndarray:
+        """Candidate points -> WINNER_DTYPE rows with exact key/d² (host)."""
+        key, d2 = self.exact_keys_d2(world)
+        out = np.empty(len(world), dtype=WINNER_DTYPE)
+        out["key"] = key
+        out["d2"] = d2
+        out["gidx"] = np.asarray(gidx, np.int64)
+        out["file_idx"] = file_idx
+        return out
+
+    # -- device tables -------------------------------------------------------
+
+    def file_tables(
         self,
         scale: tuple[float, float, float],
         offset: tuple[float, float, float],
     ) -> dict[str, np.ndarray]:
-        """Per-file constants for the device cell kernel.
+        """Per-(file, grid) constants for the device candidate kernel.
 
-        q0 = (bmin - offset)/scale is the grid origin in the file's integer
-        local space; dpl = dims/extent_local converts local units to cell
-        counts; half = cell_size/(2*scale) locates cell centers in local
-        units. d2 is computed in local units per axis then re-scaled to
-        world meters so ties match the reference's world-space metric.
+        For each axis: an exact boundary table b[0..dims+1] (int32 local
+        units; b[c] is the smallest int32 p with exact f64 cell(p) >= c, so
+        cell c = {p : b[c] <= p < b[c+1]} matches the reference bit-for-bit
+        on the interior), plus split cell-center tables cr (int32 round) and
+        cf (f32 fraction) so the device d² avoids catastrophic cancellation:
+        d_local = float(p - cr[c]) - cf[c] is exact integer arithmetic plus
+        two tiny f32 terms. Also the f32 affine estimate (q0i/q0f/dpl) whose
+        error is < 0.5 cells for dims <= 2^23, so a +-2 correction window
+        against the boundary tables always certifies interior points.
         """
         scale = np.asarray(scale, np.float64)
         offset = np.asarray(offset, np.float64)
+        if np.any(scale <= 0):
+            raise ValueError(f"non-positive LAS scale {scale} unsupported")
         bmin = np.asarray(self.bounds.min, np.float64)
-        extent = np.asarray(self.bounds.extent, np.float64)
-        dims = np.asarray(self.dims, np.float64)
-        extent_local = extent / scale
-        return {
-            "q0": ((bmin - offset) / scale).astype(np.float32),
-            "dpl": (dims / np.maximum(extent_local, 1e-30)).astype(np.float32),
-            "cell_local": (self.cell_size / scale).astype(np.float32),
-            "scale": scale.astype(np.float32),
-            "dims": np.asarray(self.dims, np.int32),
-        }
+        bmax = np.asarray(self.bounds.max, np.float64)
+        ext = bmax - bmin
+        dims_f = np.asarray(self.dims, np.float64)
+
+        tables = {}
+        dims_dev = []
+        for ax, name in enumerate("xyz"):
+            d_ax = self.dims[ax]
+            dd = max(d_ax, 1)
+            dims_dev.append(dd)
+            b = np.empty(dd + 2, np.int64)
+            b[0] = int(I32_MIN)  # `as u64` saturates r<1 (incl. negative) to cell 0
+            b[dd + 1] = int(I32_MAX)  # sentinel for the +1 gather
+            if d_ax == 0 or ext[ax] <= 0:
+                # degenerate axis: reference r is NaN/inf -> every point cell 0
+                b[1 : dd + 1] = int(I32_MAX)
+            else:
+                i = np.arange(1, dd + 1, dtype=np.float64)
+
+                def r_of(p):  # exact reference r at integer local coords p
+                    w = p * scale[ax] + offset[ax]
+                    return (w - bmin[ax]) * dims_f[ax] / ext[ax]
+
+                approx = (i * ext[ax] / dims_f[ax] + bmin[ax] - offset[ax]) / scale[ax]
+                p = np.ceil(approx)
+                # correct the f64-approximate inverse to the true threshold
+                for _ in range(8):
+                    too_high = r_of(p - 1) >= i
+                    if not too_high.any():
+                        break
+                    p = np.where(too_high, p - 1, p)
+                for _ in range(8):
+                    too_low = r_of(p) < i
+                    if not too_low.any():
+                        break
+                    p = np.where(too_low, p + 1, p)
+                bad = (r_of(p) < i) | (r_of(p - 1) >= i)
+                if bad.any():  # extreme exponents: bisection fallback
+                    lo = np.full_like(p, float(I32_MIN))
+                    hi = np.full_like(p, float(I32_MAX))
+                    for _ in range(34):
+                        mid = np.floor((lo + hi) / 2)
+                        ge = r_of(mid) >= i
+                        hi = np.where(ge, mid, hi)
+                        lo = np.where(ge, lo, mid)
+                    p = np.where(bad, hi, p)
+                b[1 : dd + 1] = np.clip(p, int(I32_MIN), int(I32_MAX)).astype(np.int64)
+            tables[f"b{name}"] = b.astype(np.int32)
+
+            # split center tables for cells 0..dd-1
+            c = np.arange(dd, dtype=np.float64)
+            center_w = (c + 0.5) * self.cell_size + bmin[ax]
+            center_l = (center_w - offset[ax]) / scale[ax]
+            cr = np.clip(np.round(center_l), int(I32_MIN) + 1, int(I32_MAX) - 1)
+            tables[f"cr{name}"] = cr.astype(np.int32)
+            tables[f"cf{name}"] = (center_l - cr).astype(np.float32)
+
+        # f32 affine estimate, grid-origin-relative so the f32 error stays
+        # sub-cell: est = (float(p - q0i) - q0f) * dpl
+        ext_l = ext / scale
+        q0 = (bmin - offset) / scale
+        q0i = np.clip(np.round(q0), int(I32_MIN) + 1, int(I32_MAX) - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dpl = np.where(ext_l > 0, dims_f / ext_l, 0.0)
+        tables["q0i"] = q0i.astype(np.int32)
+        tables["q0f"] = (q0 - q0i).astype(np.float32)
+        tables["dpl"] = np.nan_to_num(dpl).astype(np.float32)
+        tables["scale"] = scale.astype(np.float32)
+        tables["dims"] = np.asarray(dims_dev, np.int32)
+        # absolute d² slack: f32 rounding of the center fraction and scale
+        tables["eps_abs"] = np.float32(3.0 * (1e-6 * self.cell_size) ** 2 + 1e-30)
+        return tables
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _block_grid_sample(x, y, z, pred_mask, n_valid, q0, dpl, cell_local, scale, dims):
-    """Per-block segment-min. Returns sorted (cz, cxy, d2, idx, winner_mask).
+def _carry_leader(first, d2):
+    """For each sorted position, the d² of its run's first element."""
 
-    idx is the block-local point index; the caller rebases to a file-global
-    int64 ordinal on host (a single LAS 1.4 file may exceed 2^31 points)."""
+    def op(a, b):
+        av, aset = a
+        bv, bset = b
+        return jnp.where(bset, bv, av), aset | bset
+
+    vals, _ = jax.lax.associative_scan(op, (jnp.where(first, d2, 0.0), first))
+    return vals
+
+
+def _density_candidates_1(
+    x, y, z, pred_mask, n_valid,
+    bx, by, bz, crx, cfx, cry, cfy, crz, cfz,
+    q0i, q0f, dpl, scale, dims, eps_abs, cap: int,
+):
+    """Single-block candidate selection. Returns (count, idx[cap]).
+
+    The candidate set provably contains every point that could win its cell
+    under exact f64: interior points get their exact cell from the boundary
+    tables and survive if within the f32 error margin of their cell's
+    leader; anything uncertifiable is flagged in wholesale.
+    """
     n = x.shape[0]
-    fx = x.astype(jnp.float32) - q0[0]
-    fy = y.astype(jnp.float32) - q0[1]
-    fz = z.astype(jnp.float32) - q0[2]
-    cx = jnp.floor(fx * dpl[0]).astype(jnp.int32)
-    cy = jnp.floor(fy * dpl[1]).astype(jnp.int32)
-    cz = jnp.floor(fz * dpl[2]).astype(jnp.int32)
-    cx = jnp.clip(cx, 0, dims[0])
-    cy = jnp.clip(cy, 0, dims[1])
-    cz = jnp.clip(cz, 0, dims[2])
-    # distance^2 to cell center, in world meters^2
-    dxc = (fx - (cx.astype(jnp.float32) + 0.5) * cell_local[0]) * scale[0]
-    dyc = (fy - (cy.astype(jnp.float32) + 0.5) * cell_local[1]) * scale[1]
-    dzc = (fz - (cz.astype(jnp.float32) + 0.5) * cell_local[2]) * scale[2]
-    d2 = dxc * dxc + dyc * dyc + dzc * dzc
-
-    cxy = cx + (dims[0] + 1) * cy
     idx = jax.lax.iota(jnp.int32, n)
-    invalid = (idx >= n_valid) | ~pred_mask
-    cz = jnp.where(invalid, I32_MAX, cz)
+    valid = pred_mask & (idx < n_valid)
 
-    # 4 sort keys: ties on d2 resolve to the smallest point index, i.e. the
-    # first-inserted point of the block (reference tie rule).
-    cz_s, cxy_s, d2_s, idx_s = jax.lax.sort((cz, cxy, d2, idx), num_keys=4)
+    def axis(p, b, cr, cf, q0i_a, q0f_a, dpl_a, dim):
+        est = (jnp.float32(0) + (p - q0i_a).astype(jnp.float32) - q0f_a) * dpl_a
+        c = jnp.clip(est.astype(jnp.int32), 0, dim - 1)
+        # +-2 correction against the exact boundaries (b has dim+2 entries)
+        for _ in range(2):
+            c = jnp.where(p >= jnp.take(b, jnp.minimum(c + 1, dim)), c + 1, c)
+        for _ in range(2):
+            c = jnp.where(p < jnp.take(b, c), c - 1, c)
+        c = jnp.clip(c, 0, dim - 1)
+        certified = (p >= jnp.take(b, c)) & (p < jnp.take(b, c + 1))
+        # beyond the max face (cell >= dim wraps in the reference) -> flag
+        certified &= p < jnp.take(b, dim)
+        # int32 extremes: boundary tables are clamped there
+        certified &= (p < I32_MAX) & (p > I32_MIN)
+        di = p - jnp.take(cr, c)
+        certified &= jnp.abs(di) < (1 << 30)  # int32 sub overflow guard
+        dloc = di.astype(jnp.float32) - jnp.take(cf, c)
+        return c, certified, dloc
+
+    cx, okx, dlx = axis(x, bx, crx, cfx, q0i[0], q0f[0], dpl[0], dims[0])
+    cy, oky, dly = axis(y, by, cry, cfy, q0i[1], q0f[1], dpl[1], dims[1])
+    cz, okz, dlz = axis(z, bz, crz, cfz, q0i[2], q0f[2], dpl[2], dims[2])
+    certified = okx & oky & okz
+    flagged = valid & ~certified
+
+    dx = dlx * scale[0]
+    dy = dly * scale[1]
+    dz = dlz * scale[2]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    in_sort = valid & certified
+    czk = jnp.where(in_sort, cz, I32_MAX)
+    cz_s, cy_s, cx_s, d2_s, idx_s = jax.lax.sort(
+        (czk, cy, cx, d2, idx), num_keys=4
+    )
     first = jnp.concatenate(
         [
             jnp.ones((1,), bool),
-            (cz_s[1:] != cz_s[:-1]) | (cxy_s[1:] != cxy_s[:-1]),
+            (cz_s[1:] != cz_s[:-1])
+            | (cy_s[1:] != cy_s[:-1])
+            | (cx_s[1:] != cx_s[:-1]),
         ]
     )
-    winner = first & (cz_s != I32_MAX)
-    return cz_s, cxy_s, d2_s, idx_s, winner
+    leader_d2 = _carry_leader(first, d2_s)
+    near = d2_s <= leader_d2 + EPS_REL * leader_d2 + eps_abs
+    cand_sorted = (first | near) & (cz_s != I32_MAX)
+    # scatter candidacy back to original point order (ascending indices out)
+    cand = jnp.zeros(n, bool).at[idx_s].set(cand_sorted, mode="drop")
+    cand = cand | flagged
+    count = jnp.sum(cand, dtype=jnp.int32)
+    (out,) = jnp.nonzero(cand, size=cap, fill_value=n)
+    return count, out.astype(jnp.int32)
 
 
-def block_grid_sample(x, y, z, base_gidx: int, n_valid, params) -> np.ndarray:
-    """Device segment-min over all valid points of a block."""
-    mask = jnp.ones(x.shape[0], dtype=bool)
-    return block_grid_sample_masked(x, y, z, mask, base_gidx, n_valid, params)
-
-
-def block_grid_sample_masked(
-    x, y, z, pred_mask, base_gidx: int, n_valid, params
-) -> np.ndarray:
-    """Device segment-min over points passing the predicate mask (density
-    composes with bbox/class queries, reference main.rs:253-264)."""
-    cz, cxy, d2, idx, winner = _block_grid_sample(
-        x,
-        y,
-        z,
-        pred_mask,
-        jnp.asarray(n_valid, jnp.int32),
-        jnp.asarray(params["q0"]),
-        jnp.asarray(params["dpl"]),
-        jnp.asarray(params["cell_local"]),
-        jnp.asarray(params["scale"]),
-        jnp.asarray(params["dims"]),
+@functools.partial(jax.jit, static_argnames=("cap",))
+def block_density_candidates(x, y, z, pred_mask, n_valid, tables, *, cap: int):
+    """Jitted single-block entry (retry path and small runs)."""
+    return _density_candidates_1(
+        x, y, z, pred_mask, jnp.asarray(n_valid, jnp.int32),
+        tables["bx"], tables["by"], tables["bz"],
+        tables["crx"], tables["cfx"], tables["cry"], tables["cfy"],
+        tables["crz"], tables["cfz"],
+        tables["q0i"], tables["q0f"], tables["dpl"], tables["scale"],
+        tables["dims"], tables["eps_abs"], cap,
     )
-    w = np.asarray(winner)
-    out = np.empty(int(w.sum()), dtype=WINNER_DTYPE)
-    out["cz"] = np.asarray(cz)[w]
-    out["cxy"] = np.asarray(cxy)[w]
-    out["d2"] = np.asarray(d2)[w]
-    out["gidx"] = np.asarray(idx)[w].astype(np.int64) + int(base_gidx)
-    out["file_idx"] = 0
-    return out
 
 
-def merge_winners_host(
-    state: np.ndarray | None, new: np.ndarray, file_idx: int
-) -> np.ndarray:
-    """Merge per-block winners into the running sparse grid state.
+def density_candidates_multi(xs, ys, zs, masks, nvs, tables, cap: int):
+    """(K, B) blocks, shared per-file tables -> (counts (K,), idx (K, cap)).
+    vmap over blocks; tables broadcast. Traced inside the sharded step."""
 
-    Ties on d2 keep the earlier-inserted point (rank: existing state first,
-    then ascending gidx within the new block), matching grid_sampling.rs:97.
-    """
-    new = new.copy()
-    new["file_idx"] = file_idx
+    def one(x, y, z, m, nv):
+        return _density_candidates_1(
+            x, y, z, m, nv,
+            tables["bx"], tables["by"], tables["bz"],
+            tables["crx"], tables["cfx"], tables["cry"], tables["cfy"],
+            tables["crz"], tables["cfz"],
+            tables["q0i"], tables["q0f"], tables["dpl"], tables["scale"],
+            tables["dims"], tables["eps_abs"], cap,
+        )
+
+    return jax.vmap(one)(xs, ys, zs, masks, nvs)
+
+
+def merge_winners_host(state: np.ndarray | None, new: np.ndarray) -> np.ndarray:
+    """Merge candidate rows (exact key/d²) into the sparse running state.
+
+    Ties on d² keep the earlier-inserted point (rank: existing state first,
+    then ascending gidx within the new batch), matching the reference's
+    strict < replacement (grid_sampling.rs:97)."""
+    if new is not None and len(new) == 0:
+        new = None
     if state is None or len(state) == 0:
         merged = new
+        n_old = 0
+    elif new is None:
+        return state
     else:
         merged = np.concatenate([state, new])
+        n_old = len(state)
+    if merged is None:
+        return np.empty(0, WINNER_DTYPE)
     if len(merged) <= 1:
         return merged
     rank = np.zeros(len(merged), np.int8)
-    if state is not None and len(state):
-        rank[len(state):] = 1
-    order = np.lexsort((merged["gidx"], rank, merged["d2"], merged["cxy"], merged["cz"]))
+    rank[n_old:] = 1
+    order = np.lexsort((merged["gidx"], rank, merged["d2"], merged["key"]))
     merged = merged[order]
     first = np.empty(len(merged), bool)
     first[0] = True
-    first[1:] = (merged["cz"][1:] != merged["cz"][:-1]) | (
-        merged["cxy"][1:] != merged["cxy"][:-1]
-    )
+    first[1:] = merged["key"][1:] != merged["key"][:-1]
     return merged[first]

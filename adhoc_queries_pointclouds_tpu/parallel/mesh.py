@@ -163,6 +163,62 @@ def sharded_collect(mesh: Mesh, kind: str, arrays: tuple, cap: int):
     return _collect_fn(mesh, kind, cap)(*arrays)
 
 
+# ---------------------------------------------------------------------------
+# sharded density: predicate + exact-cell candidate selection for D*K blocks
+# of ONE file per dispatch (the grid tables are per-file constants and ride
+# replicated, so they upload once and broadcast over the mesh).
+# ---------------------------------------------------------------------------
+
+_DENSITY_TABLE_KEYS = (
+    "bx", "by", "bz", "crx", "cfx", "cry", "cfy", "crz", "cfz",
+    "q0i", "q0f", "dpl", "scale", "dims", "eps_abs",
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _density_fn(mesh: Mesh, kind: str, cap: int):
+    from ..ops import density as density_ops
+
+    nt = len(_DENSITY_TABLE_KEYS)
+
+    def per_device(*args):
+        tbl = dict(zip(_DENSITY_TABLE_KEYS, args[-nt:]))
+        if kind == "bbox":
+            xs, ys, zs, los, his, nv = args[:-nt]
+            mask = predicate.bbox_mask_jnp_multi(xs, ys, zs, los, his, nv)
+        elif kind == "class":
+            xs, ys, zs, cls, targets, nv = args[:-nt]
+            mask = predicate.class_mask_jnp_multi(cls, targets, nv)
+        else:
+            xs, ys, zs, ths, tls, qs, nv = args[:-nt]
+            mask = predicate.time_mask_jnp_multi(ths, tls, qs, nv)
+        return density_ops.density_candidates_multi(xs, ys, zs, mask, nv, tbl, cap)
+
+    pred_specs = {
+        # 2-D block operands shard on axis 0; 1-D per-block scalars on "d"
+        "bbox": (P("d", None),) * 5 + (P("d"),),  # x y z lo hi nv
+        "class": (P("d", None),) * 4 + (P("d"), P("d")),  # x y z cls tgt nv
+        "time": (P("d", None),) * 6 + (P("d"),),  # x y z th tl q nv
+    }[kind]
+    in_specs = pred_specs + (P(),) * nt
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("d"), P("d", None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_density(mesh: Mesh, kind: str, arrays: tuple, tables: dict, cap: int):
+    """Predicate + density candidate selection over D*K blocks of one file.
+
+    Returns (candidate counts (D*K,), candidate indices (D*K, cap))."""
+    vals = tuple(tables[k] for k in _DENSITY_TABLE_KEYS)
+    return _density_fn(mesh, kind, cap)(*(arrays + vals))
+
+
 def sharded_bbox_count(mesh: Mesh, xs, ys, zs, los, his, nvalids, impl: str = "auto"):
     """Count bbox hits across D*K blocks, K per device per dispatch. All
     args stacked on axis 0 with leading dim a multiple of the mesh size.

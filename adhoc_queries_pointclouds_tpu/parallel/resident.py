@@ -220,7 +220,7 @@ class ResidentDataset:
 
         states: dict[int, np.ndarray | None] = {}
         global_state: np.ndarray | None = None
-        params_per_file = {}
+        tables_per_file = {}
         bounds_per_file = {}
         for i, h in enumerate(self.headers):
             if plan.bounds is not None:
@@ -231,12 +231,16 @@ class ResidentDataset:
                     parity_quirk=plan.parity_quirk,
                 )
                 bounds_per_file[i] = clamp_bounds_to_i32(lo64, hi64)
-            params_per_file[i] = grid.device_params(h.scale, h.offset)
+            tables_per_file[i] = {
+                k: jnp.asarray(v)
+                for k, v in grid.file_tables(h.scale, h.offset).items()
+            }
 
         per_file_scope = plan.density.scope == "file"
+        cap = 8192
         for b in range(self.n_blocks):
             i = int(self.file_idx[b])
-            if i < 0 or i not in params_per_file:
+            if i < 0 or i not in tables_per_file:
                 continue
             if plan.bounds is not None and i not in bounds_per_file:
                 continue
@@ -251,13 +255,38 @@ class ResidentDataset:
                 mask = predicate.class_mask(
                     self.cls[b], jnp.asarray(plan.classification.classification, jnp.int32), nv
                 )
-            winners = density_ops.block_grid_sample_masked(
-                xb, yb, zb, mask, int(self.block_start[b]), nv, params_per_file[i]
+            # device candidate selection; exact f64 keys/d2 resolved on host
+            # for the few candidates (ops/density.py design)
+            cnt, idx = density_ops.block_density_candidates(
+                xb, yb, zb, mask, nv, tables_per_file[i], cap=min(cap, self.block_size)
             )
+            c = int(cnt)
+            if c == 0:
+                continue
+            if c > min(cap, self.block_size):
+                from ..ops.compact import pow2_bucket
+
+                cap = pow2_bucket(c, self.block_size)
+                _, idx = density_ops.block_density_candidates(
+                    xb, yb, zb, mask, nv, tables_per_file[i], cap=cap
+                )
+            local = np.asarray(idx[:c], np.int64)
+            sel = jnp.asarray(local)
+            xyz = np.stack(
+                [
+                    np.asarray(jnp.take(xb, sel)),
+                    np.asarray(jnp.take(yb, sel)),
+                    np.asarray(jnp.take(zb, sel)),
+                ],
+                axis=1,
+            ).astype(np.float64)
+            h = self.headers[i]
+            world = xyz * np.asarray(h.scale) + np.asarray(h.offset)
+            winners = grid.make_winners(world, local + int(self.block_start[b]), i)
             if per_file_scope:
-                states[i] = density_ops.merge_winners_host(states.get(i), winners, i)
+                states[i] = density_ops.merge_winners_host(states.get(i), winners)
             else:
-                global_state = density_ops.merge_winners_host(global_state, winners, i)
+                global_state = density_ops.merge_winners_host(global_state, winners)
         if per_file_scope:
             return sum(len(s) for s in states.values() if s is not None)
         return 0 if global_state is None else len(global_state)

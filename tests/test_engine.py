@@ -257,10 +257,32 @@ class TestCollectMesh:
 
 class TestDensity:
     def _oracle_density(self, paths, bounds, cell, scope="global"):
-        """Dict-based SparseGrid oracle (f64, reference semantics)."""
-        dims = np.maximum(np.ceil(np.asarray(bounds.extent) / cell), 1)
-        bmin = np.asarray(bounds.min)
-        ext = np.asarray(bounds.extent)
+        """Dict-based SparseGrid oracle: full reference semantics
+        (grid_sampling.rs:18-105) — f64 r, `as u64` trunc/saturate, per-axis
+        ceil(log2) bit masks wrapping the packed key."""
+        bmin = np.asarray(bounds.min, np.float64)
+        ext = np.asarray(bounds.max, np.float64) - bmin
+        ncf = np.ceil(ext / cell)
+        dims = np.maximum(ncf, 0.0)
+        bits = []
+        for v in ncf:
+            b = np.ceil(np.log2(v)) if v > 0 else -np.inf
+            bits.append(int(max(b, 0.0)) if np.isfinite(b) else 0)
+        masks = [(1 << b) - 1 for b in bits]
+
+        def insert(cells, w, tag):
+            r = (w - bmin) * dims / ext
+            c = [0 if (np.isnan(v) or v < 0) else int(min(v, 2.0**64 - 1)) for v in r]
+            key = (
+                (c[0] & masks[0])
+                | ((c[1] & masks[1]) << bits[0])
+                | ((c[2] & masks[2]) << (bits[0] + bits[1]))
+            )
+            center = (np.asarray(c, np.float64) + 0.5) * cell + bmin
+            d2 = float(np.sum((w - center) ** 2))
+            if key not in cells or d2 < cells[key][0]:
+                cells[key] = (d2, tag)
+
         states = []
         cells = {}
         for p in paths:
@@ -270,11 +292,7 @@ class TestDensity:
             w = r.positions_world()
             m = bounds.contains_points(w)
             for i in np.nonzero(m)[0]:
-                c = tuple(np.floor((w[i] - bmin) * dims / ext).astype(np.int64))
-                center = (np.asarray(c, np.float64) + 0.5) * cell + bmin
-                d2 = float(np.sum((w[i] - center) ** 2))
-                if c not in cells or d2 < cells[c][0]:
-                    cells[c] = (d2, str(p), int(i))
+                insert(cells, w[i], (str(p), int(i)))
             r.close()
             if scope == "file":
                 states.append(dict(cells))

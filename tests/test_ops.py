@@ -9,8 +9,7 @@ import pytest
 from adhoc_queries_pointclouds_tpu.ops import (
     GridSpec3D,
     bbox_count,
-    block_grid_sample,
-    block_grid_sample_masked,
+    block_density_candidates,
     class_count,
     compact,
     merge_winners_host,
@@ -113,105 +112,233 @@ class TestCompaction:
 
 
 class TestDensity:
-    def _params(self, bounds, cell, scale=(0.001, 0.001, 0.001), offset=(0.0, 0.0, 0.0)):
+    """Device candidate selection + host-exact f64 resolution vs an
+    independent oracle that replicates the reference SparseGrid math
+    (grid_sampling.rs:18-105) including `as u64` truncation/saturation and
+    the per-axis bit-mask key wrap."""
+
+    @staticmethod
+    def _oracle(world, bounds, cell_size):
+        """dict of masked-key -> (d2, first-strictly-closest index)."""
+        bmin = np.asarray(bounds.min, np.float64)
+        ext = np.asarray(bounds.max, np.float64) - bmin
+        ncf = np.ceil(ext / cell_size)
+        dims = np.maximum(ncf, 0.0)
+        bits = []
+        for v in ncf:
+            b = np.ceil(np.log2(v)) if v > 0 else -np.inf
+            bits.append(int(max(b, 0.0)) if np.isfinite(b) else 0)
+        masks = [(1 << b) - 1 for b in bits]
+        cells = {}
+        for i in range(len(world)):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = (world[i] - bmin) * dims / ext
+            c = []
+            for v in r:
+                if np.isnan(v) or v < 0:
+                    c.append(0)
+                elif v >= 2.0**64:
+                    c.append(2**64 - 1)
+                else:
+                    c.append(int(v))
+            key = (
+                (c[0] & masks[0])
+                | ((c[1] & masks[1]) << bits[0])
+                | ((c[2] & masks[2]) << (bits[0] + bits[1]))
+            )
+            center = (np.asarray(c, np.float64) + 0.5) * cell_size + bmin
+            d2 = float(np.sum((world[i] - center) ** 2))
+            if key not in cells or d2 < cells[key][0]:
+                cells[key] = (d2, i)
+        return cells
+
+    @staticmethod
+    def _run(raw, scale, offset, bounds, cell, mask=None, base=0, state=None,
+             file_idx=0, cap=None):
+        from adhoc_queries_pointclouds_tpu.ops.density import (
+            GridSpec3D, block_density_candidates, merge_winners_host,
+        )
+
         grid = GridSpec3D.create(bounds, cell)
-        return grid, grid.device_params(scale, offset)
+        tables = {
+            k: jnp.asarray(v) for k, v in grid.file_tables(scale, offset).items()
+        }
+        n = len(raw)
+        m = jnp.ones(n, bool) if mask is None else jnp.asarray(mask)
+        cap = cap or max(n, 1)
+        cnt, idx = block_density_candidates(
+            jnp.asarray(raw[:, 0]), jnp.asarray(raw[:, 1]), jnp.asarray(raw[:, 2]),
+            m, n, tables, cap=cap,
+        )
+        c = int(cnt)
+        assert c <= cap
+        local = np.asarray(idx[:c], np.int64)
+        world = raw[local].astype(np.float64) * np.asarray(scale) + np.asarray(offset)
+        winners = grid.make_winners(world, local + base, file_idx)
+        return merge_winners_host(state, winners), grid
 
     def test_single_point(self):
         bounds = AABB((-5.0, -5.0, -5.0), (5.0, 5.0, 5.0))
-        grid, params = self._params(bounds, 1.0, scale=(0.1, 0.1, 0.1))
-        # world (-4.5, -4.6, -4.7) with scale 0.1 -> raw (-45, -46, -47)
-        x = jnp.asarray(np.array([-45], np.int32))
-        y = jnp.asarray(np.array([-46], np.int32))
-        z = jnp.asarray(np.array([-47], np.int32))
-        w = block_grid_sample(x, y, z, 0, 1, params)
-        assert len(w) == 1
-        assert w["gidx"][0] == 0
+        raw = np.array([[-45, -46, -47]], np.int32)  # world (-4.5,-4.6,-4.7)
+        state, _ = self._run(raw, (0.1, 0.1, 0.1), (0.0, 0.0, 0.0), bounds, 1.0)
+        assert len(state) == 1 and state["gidx"][0] == 0
 
     def test_same_cell_keeps_closest_to_center(self):
-        # reference test grid_sampling.rs:181-208: two points in cell 0 of a
-        # 10m/1m grid from -5: center (-4.5,-4.5,-4.5); second point closer.
+        # reference test grid_sampling.rs:181-208
         bounds = AABB((-5.0, -5.0, -5.0), (5.0, 5.0, 5.0))
-        grid, params = self._params(bounds, 1.0, scale=(0.1, 0.1, 0.1))
-        x = jnp.asarray(np.array([-48, -45], np.int32))  # -4.8, -4.5
-        y = jnp.asarray(np.array([-46, -44], np.int32))  # -4.6, -4.4
-        z = jnp.asarray(np.array([-47, -46], np.int32))  # -4.7, -4.6
-        w = block_grid_sample(x, y, z, 0, 2, params)
-        assert len(w) == 1
-        assert w["gidx"][0] == 1  # the closer point wins
+        raw = np.array([[-48, -46, -47], [-45, -44, -46]], np.int32)
+        state, _ = self._run(raw, (0.1, 0.1, 0.1), (0.0, 0.0, 0.0), bounds, 1.0)
+        assert len(state) == 1 and state["gidx"][0] == 1
 
     def test_different_cells_kept(self):
         bounds = AABB((-5.0, -5.0, -5.0), (5.0, 5.0, 5.0))
-        grid, params = self._params(bounds, 1.0, scale=(0.1, 0.1, 0.1))
-        x = jnp.asarray(np.array([-45, -35], np.int32))
-        y = jnp.asarray(np.array([-46, -45], np.int32))
-        z = jnp.asarray(np.array([-47, -44], np.int32))
-        w = block_grid_sample(x, y, z, 0, 2, params)
-        assert len(w) == 2
-
-    def test_oracle_random(self):
-        """Random cloud vs a dict-based NumPy oracle of SparseGrid semantics."""
-        rng = np.random.default_rng(7)
-        n = 5_000
-        scale = (0.001, 0.001, 0.001)
-        offset = (100.0, 200.0, 0.0)
-        bounds = AABB((100.0, 200.0, 0.0), (110.0, 210.0, 5.0))
-        cell = 1.0
-        raw = rng.integers(0, 10_001, (n, 3), dtype=np.int64).astype(np.int32)
-        raw[:, 2] //= 2
-        world = raw.astype(np.float64) * scale + np.asarray(offset)
-
-        grid, params = self._params(bounds, cell, scale=scale, offset=offset)
-        w = block_grid_sample(
-            jnp.asarray(raw[:, 0]), jnp.asarray(raw[:, 1]), jnp.asarray(raw[:, 2]),
-            0, n, params,
-        )
-        state = merge_winners_host(None, w, 0)
-
-        # oracle: reference insert_point semantics in f64
-        dims = np.asarray(grid.dims, np.float64)
-        bmin = np.asarray(bounds.min)
-        ext = np.asarray(bounds.extent)
-        cells = {}
-        for i in range(n):
-            c = tuple(np.floor((world[i] - bmin) * dims / ext).astype(np.int64))
-            center = (np.asarray(c, np.float64) + 0.5) * cell + bmin
-            d2 = float(np.sum((world[i] - center) ** 2))
-            if c not in cells or d2 < cells[c][0]:
-                cells[c] = (d2, i)
-        oracle_idx = sorted(v[1] for v in cells.values())
-        got_idx = sorted(state["gidx"].tolist())
-        assert got_idx == oracle_idx
+        raw = np.array([[-45, -46, -47], [-35, -45, -44]], np.int32)
+        state, _ = self._run(raw, (0.1, 0.1, 0.1), (0.0, 0.0, 0.0), bounds, 1.0)
+        assert len(state) == 2
 
     def test_masked_sampling(self):
         bounds = AABB((0.0, 0.0, 0.0), (10.0, 10.0, 10.0))
-        grid, params = self._params(bounds, 10.0, scale=(1.0, 1.0, 1.0))
-        x = jnp.asarray(np.array([1, 2, 3], np.int32))
-        y = jnp.asarray(np.array([1, 2, 3], np.int32))
-        z = jnp.asarray(np.array([1, 2, 3], np.int32))
-        mask = jnp.asarray(np.array([False, True, False]))
-        w = block_grid_sample_masked(x, y, z, mask, 0, 3, params)
-        assert len(w) == 1
-        assert w["gidx"][0] == 1
+        raw = np.array([[1, 1, 1], [2, 2, 2], [3, 3, 3]], np.int32)
+        mask = np.array([False, True, False])
+        state, _ = self._run(raw, (1.0,) * 3, (0.0,) * 3, bounds, 10.0, mask=mask)
+        assert len(state) == 1 and state["gidx"][0] == 1
+
+    def test_oracle_random(self):
+        rng = np.random.default_rng(7)
+        n = 5_000
+        scale, offset = (0.001, 0.001, 0.001), (100.0, 200.0, 0.0)
+        bounds = AABB((100.0, 200.0, 0.0), (110.0, 210.0, 5.0))
+        raw = rng.integers(0, 10_001, (n, 3), dtype=np.int64).astype(np.int32)
+        raw[:, 2] //= 2
+        state, _ = self._run(raw, scale, offset, bounds, 1.0)
+        world = raw.astype(np.float64) * scale + np.asarray(offset)
+        oracle = self._oracle(world, bounds, 1.0)
+        assert sorted(state["gidx"].tolist()) == sorted(v[1] for v in oracle.values())
+
+    def test_boundary_epsilon_points_exact(self):
+        """Points at the closest representable coordinates around every cell
+        boundary (and exactly ON f64-exact boundaries) must land in the
+        reference's f64 cell — no tolerance. This is where a pure-f32 kernel
+        diverges; the exact integer boundary tables must not."""
+        from adhoc_queries_pointclouds_tpu.ops.density import GridSpec3D
+
+        scale, offset = (0.001, 0.002, 0.0005), (100.0, -50.0, 3.0)
+        bounds = AABB((100.0, -50.0, 3.0), (107.3, -42.7, 9.1))
+        cell = 0.7300000000000001
+        grid = GridSpec3D.create(bounds, cell)
+        tables = grid.file_tables(scale, offset)
+        pts = []
+        for ax, name in enumerate("xyz"):
+            b = tables[f"b{name}"].astype(np.int64)
+            interior = b[(b > -2**31) & (b < 2**31 - 1)]
+            for t in interior[1:-1]:
+                for delta in (-1, 0, 1):
+                    v = int(np.clip(t + delta, -2**31 + 1, 2**31 - 2))
+                    p = [5000, 5000, 5000]
+                    p[ax] = v
+                    pts.append(p)
+        raw = np.asarray(pts, np.int32)
+        state, _ = self._run(raw, scale, offset, bounds, cell)
+        world = raw.astype(np.float64) * scale + np.asarray(offset)
+        oracle = self._oracle(world, bounds, cell)
+        assert sorted(state["gidx"].tolist()) == sorted(v[1] for v in oracle.values())
+
+    def test_exact_integer_boundaries(self):
+        """World coordinates that are exactly representable on cell edges:
+        scale 0.001, cell 1.0 -> every 1000th raw coord sits exactly on a
+        boundary in f64."""
+        bounds = AABB((0.0, 0.0, 0.0), (10.0, 10.0, 10.0))
+        vals = [0, 999, 1000, 1001, 4999, 5000, 5001, 9999, 10000]
+        raw = np.asarray(
+            [[a, b, c] for a in vals for b in vals for c in vals], np.int32
+        )
+        state, _ = self._run(raw, (0.001,) * 3, (0.0,) * 3, bounds, 1.0)
+        world = raw.astype(np.float64) * 0.001
+        oracle = self._oracle(world, bounds, 1.0)
+        assert sorted(state["gidx"].tolist()) == sorted(v[1] for v in oracle.values())
+
+    def test_max_face_pow2_wrap(self):
+        """dims = 8 (power of two): a point exactly on the max face truncates
+        to cell 8, whose 3-bit mask wraps to 0 — it must compete with cell-0
+        points under the reference's key-wrap semantics, with d2 measured to
+        the UNMASKED cell-8 center."""
+        bounds = AABB((0.0, 0.0, 0.0), (8.0, 8.0, 8.0))
+        raw = np.array(
+            [[100, 100, 100], [8000, 100, 100]], np.int32  # w=(0.1..), (8.0,..)
+        )
+        state, _ = self._run(raw, (0.001,) * 3, (0.0,) * 3, bounds, 1.0)
+        world = raw.astype(np.float64) * 0.001
+        oracle = self._oracle(world, bounds, 1.0)
+        assert sorted(state["gidx"].tolist()) == sorted(v[1] for v in oracle.values())
+        # both share key 0 -> exactly one winner
+        assert len(state) == 1
+
+    def test_near_tie_d2_resolved_in_f64(self):
+        """Two points whose d2 differ by ~1e-12 relative: f32 cannot order
+        them; the candidate margin must pass both to the exact host merge."""
+        bounds = AABB((0.0, 0.0, 0.0), (10.0, 10.0, 10.0))
+        scale = (1e-7, 1e-7, 1e-7)
+        # cell 0 center at (0.5, 0.5, 0.5) = raw 5e6; two opposite offsets
+        c = 5_000_000
+        raw = np.array(
+            [[c + 1000, c, c], [c - 1001, c, c], [c, c + 1000, c]], np.int32
+        )
+        state, _ = self._run(raw, scale, (0.0,) * 3, bounds, 1.0)
+        world = raw.astype(np.float64) * np.asarray(scale)
+        oracle = self._oracle(world, bounds, 1.0)
+        assert sorted(state["gidx"].tolist()) == sorted(v[1] for v in oracle.values())
+
+    def test_exact_tie_keeps_first_inserted(self):
+        """Exactly equidistant points: strict < keeps the first inserted."""
+        bounds = AABB((0.0, 0.0, 0.0), (10.0, 10.0, 10.0))
+        c = 500  # center of cell 0 at raw 500 (scale 0.001, cell 1.0)
+        raw = np.array([[c + 100, c, c], [c - 100, c, c]], np.int32)
+        state, _ = self._run(raw, (0.001,) * 3, (0.0,) * 3, bounds, 1.0)
+        assert len(state) == 1 and state["gidx"][0] == 0
 
     def test_cross_block_merge_tie_keeps_first(self):
-        a = np.zeros(1, dtype=merge_winners_host.__globals__["WINNER_DTYPE"])
-        a[0] = (0, 0, 1.0, 0, 5)
-        b = np.zeros(1, dtype=a.dtype)
-        b[0] = (0, 0, 1.0, 0, 9)  # same cell, same d2, later point
-        state = merge_winners_host(None, a, 0)
-        state = merge_winners_host(state, b, 0)
-        assert len(state) == 1
-        assert state["gidx"][0] == 5
+        from adhoc_queries_pointclouds_tpu.ops.density import (
+            WINNER_DTYPE, merge_winners_host,
+        )
+
+        a = np.zeros(1, dtype=WINNER_DTYPE)
+        a[0] = (0, 1.0, 0, 5)
+        b = np.zeros(1, dtype=WINNER_DTYPE)
+        b[0] = (0, 1.0, 0, 9)  # same cell, same d2, later point
+        state = merge_winners_host(merge_winners_host(None, a), b)
+        assert len(state) == 1 and state["gidx"][0] == 5
 
     def test_cross_block_merge_better_wins(self):
-        dt = merge_winners_host.__globals__["WINNER_DTYPE"]
-        a = np.zeros(1, dtype=dt)
-        a[0] = (0, 0, 1.0, 0, 5)
-        b = np.zeros(1, dtype=dt)
-        b[0] = (0, 0, 0.5, 0, 9)
-        state = merge_winners_host(merge_winners_host(None, a, 0), b, 0)
+        from adhoc_queries_pointclouds_tpu.ops.density import (
+            WINNER_DTYPE, merge_winners_host,
+        )
+
+        a = np.zeros(1, dtype=WINNER_DTYPE)
+        a[0] = (0, 1.0, 0, 5)
+        b = np.zeros(1, dtype=WINNER_DTYPE)
+        b[0] = (0, 0.5, 0, 9)
+        state = merge_winners_host(merge_winners_host(None, a), b)
         assert state["gidx"][0] == 9
+
+    def test_candidate_cap_overflow_detected(self):
+        """counts report the true candidate total even when idx truncates."""
+        from adhoc_queries_pointclouds_tpu.ops.density import (
+            GridSpec3D, block_density_candidates,
+        )
+
+        bounds = AABB((0.0, 0.0, 0.0), (10.0, 10.0, 10.0))
+        grid = GridSpec3D.create(bounds, 0.001)  # every point its own cell
+        tables = {
+            k: jnp.asarray(v)
+            for k, v in grid.file_tables((0.001,) * 3, (0.0,) * 3).items()
+        }
+        rng = np.random.default_rng(2)
+        raw = rng.integers(0, 10000, (512, 3), dtype=np.int64).astype(np.int32)
+        cnt, idx = block_density_candidates(
+            jnp.asarray(raw[:, 0]), jnp.asarray(raw[:, 1]), jnp.asarray(raw[:, 2]),
+            jnp.ones(512, bool), 512, tables, cap=16,
+        )
+        assert int(cnt) > 16  # true count, not clamped
 
 
 class TestMultiBlock:
