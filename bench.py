@@ -3,7 +3,17 @@
 
 Prints exactly ONE JSON line to stdout:
   {"metric": "bbox_scan_throughput", "value": <Mpts/s>, "unit": "Mpts/s",
-   "vs_baseline": <ratio>}
+   "vs_baseline": <ratio>, "extras": {...}}
+
+extras carries the full per-round measurement set:
+  - roofline_copy_gbs / roofline_reduce_gbs: device memcpy and pure int32
+    reduction bandwidth — the measured device ceiling the kernel number
+    should be judged against (NOT assumed from spec sheets)
+  - kernel_mpts / kernel_gbs / kernel_pct_of_reduce: the fused scan and how
+    close it runs to the measured reduction ceiling
+  - e2e_mpts / e2e_mibs: the STREAMING ENGINE on a synthetic LAST dataset
+    (mmap -> decode-ahead feeder -> sharded device scan), the number that
+    corresponds to the reference's headline MiB/s metric (main.rs:309-316)
 
 The baseline is a single-pass vectorized NumPy scan of the same int32
 predicate on the host CPU — a faithful stand-in for the reference's
@@ -12,8 +22,7 @@ a memory-bound integer-compare pass over mmap'd columns (the Rust binary
 itself cannot run here: no cargo in this image). BASELINE.md's north star is
 >10x points/sec/chip over that scan.
 
-Diagnostics (device, sizes, end-to-end engine throughput) go to stderr so
-stdout stays machine-readable.
+Diagnostics go to stderr so stdout stays machine-readable.
 """
 
 from __future__ import annotations
@@ -165,14 +174,90 @@ def device_scan(x, y, z, lo, hi) -> float:
     return best
 
 
-def end_to_end(tmpdir: Path) -> None:
-    """Streaming engine throughput on a small synthetic LAST dataset (info only)."""
+def roofline() -> dict:
+    """Measured device bandwidth ceilings: elementwise copy-like traffic and
+    a pure int32 reduction, each timed as one fori_loop dispatch with
+    completion forced through a scalar fetch (block_until_ready can return
+    early on the tunneled backend). The kernel's GB/s should be judged
+    against these numbers, not against a spec sheet."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 64 * 1024 * 1024  # 256 MiB of int32
+    iters = 8
+    # x must be an ARGUMENT of the jitted fns, not a closure: closed-over
+    # arrays are baked into the program as literals, which the tunneled
+    # remote-compile endpoint rejects (HTTP 413) and which would let XLA
+    # constant-fold the traffic away.
+    x = jax.random.randint(jax.random.PRNGKey(1), (n,), -100, 100, dtype=jnp.int32)
+    jax.block_until_ready(x)
+
+    @jax.jit
+    def copy_loop(arr, v0):
+        def body(k, a):
+            return a + k  # reads n*4, writes n*4 per iteration
+
+        return jax.lax.fori_loop(0, iters, body, arr + v0)[0]
+
+    @jax.jit
+    def reduce_loop(arr, v0):
+        def body(k, acc):
+            return acc + jnp.sum(arr + k, dtype=jnp.int32)  # reads n*4
+
+        return jax.lax.fori_loop(0, iters, body, v0)
+
+    out = {}
+    try:
+        int(copy_loop(x, jnp.int32(0)))  # warm
+        t0 = time.perf_counter()
+        int(copy_loop(x, jnp.int32(1)))
+        dt = (time.perf_counter() - t0) / iters
+        out["roofline_copy_gbs"] = round(8.0 * n / dt / 1e9, 1)
+    except Exception as e:
+        log(f"roofline copy probe failed: {e}")
+    try:
+        int(reduce_loop(x, jnp.int32(0)))
+        t0 = time.perf_counter()
+        int(reduce_loop(x, jnp.int32(1)))
+        dt = (time.perf_counter() - t0) / iters
+        out["roofline_reduce_gbs"] = round(4.0 * n / dt / 1e9, 1)
+    except Exception as e:
+        log(f"roofline reduce probe failed: {e}")
+    # host->device transfer ceiling: the streaming engine's e2e number is
+    # bounded by this (12 B/point of coordinates must cross the link)
+    try:
+        host = np.random.default_rng(2).integers(
+            -100, 100, 16 * 1024 * 1024, dtype=np.int64
+        ).astype(np.int32)  # 64 MiB
+        d = jax.device_put(host)
+        jax.block_until_ready(d)  # warm path
+        t0 = time.perf_counter()
+        d = jax.device_put(host)
+        int(d[0])  # force materialization on device
+        dt = time.perf_counter() - t0
+        out["h2d_gbs"] = round(host.nbytes / dt / 1e9, 2)
+    except Exception as e:
+        log(f"h2d probe failed: {e}")
+    log(
+        f"roofline: copy {out.get('roofline_copy_gbs', '?')} GB/s, "
+        f"reduce {out.get('roofline_reduce_gbs', '?')} GB/s, "
+        f"h2d {out.get('h2d_gbs', '?')} GB/s"
+    )
+    return out
+
+
+def end_to_end(tmpdir: Path) -> dict:
+    """Streaming engine throughput on a synthetic LAST dataset — the number
+    comparable to the reference's headline MiB/s report (main.rs:309-316):
+    file bytes on disk -> mmap columns -> decode-ahead feeder -> sharded
+    device scan -> count."""
     from adhoc_queries_pointclouds_tpu.engine import run_query
     from adhoc_queries_pointclouds_tpu.formats import synth
     from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, QueryPlan
     from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
 
     ds = tmpdir / "last"
+    total_pts = 16_000_000
     if not ds.exists():
         log("generating end-to-end dataset (4 x 4M points, LAST)...")
         synth.write_dataset(
@@ -180,16 +265,59 @@ def end_to_end(tmpdir: Path) -> None:
         )
     box = AABB((100200.0, 200300.0, 10.0), (103400.0, 200800.0, 60.0))
     plan = QueryPlan(bounds=BoundsQuery(box))
-    res = run_query(ds, plan)  # warm (compile + page cache)
+    res = run_query(ds, plan, use_index=False)  # warm (compile + page cache)
     t0 = time.perf_counter()
-    res = run_query(ds, plan)
+    res = run_query(ds, plan, use_index=False)
     dt = time.perf_counter() - t0
-    total_pts = 16_000_000
+    mpts = total_pts / dt / 1e6
+    mibs = res.total_file_bytes / dt / 1048576.0
     log(
         f"end-to-end streaming: {res.match_count} hits over {total_pts / 1e6:.0f} Mpts "
-        f"in {dt:.2f}s = {total_pts / dt / 1e6:.1f} Mpts/s "
-        f"({res.total_file_bytes / dt / 1048576.0:.0f} MiB/s of file bytes)"
+        f"in {dt:.2f}s = {mpts:.1f} Mpts/s ({mibs:.0f} MiB/s of file bytes; "
+        f"bounded by the h2d roofline — 12 B/point must cross the link)"
     )
+    return {"e2e_mpts": round(mpts, 1), "e2e_mibs": round(mibs, 1)}
+
+
+def inflight_comparison(tmpdir: Path) -> dict:
+    """Decode-bound (LAZER) engine scan with AQPC_INFLIGHT=1 vs 3: measures
+    the win from overlapping host decode + H2D with the device scan. Opt-in
+    (AQPC_BENCH_INFLIGHT=1): queued transfers can wedge the tunneled axon
+    backend for minutes, so this belongs on real hardware."""
+    import os
+
+    import adhoc_queries_pointclouds_tpu.engine as eng
+    from adhoc_queries_pointclouds_tpu.engine import run_query
+    from adhoc_queries_pointclouds_tpu.formats import synth
+    from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, QueryPlan
+    from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+    ds = tmpdir / "lazer"
+    if not ds.exists():
+        log("generating LAZER dataset for the inflight comparison...")
+        synth.write_dataset(
+            tmpdir, n_files=4, points_per_file=4_000_000, formats=("lazer",), seed=0
+        )
+    box = AABB((100200.0, 200300.0, 10.0), (103400.0, 200800.0, 60.0))
+    plan = QueryPlan(bounds=BoundsQuery(box))
+    out = {}
+    saved = eng.MAX_INFLIGHT_STEPS
+    try:
+        for inflight in (1, 3):
+            eng.MAX_INFLIGHT_STEPS = inflight
+            run_query(ds, plan, use_index=False)  # warm
+            t0 = time.perf_counter()
+            run_query(ds, plan, use_index=False)
+            dt = time.perf_counter() - t0
+            out[f"e2e_lazer_inflight{inflight}_mpts"] = round(16_000_000 / dt / 1e6, 1)
+    finally:
+        eng.MAX_INFLIGHT_STEPS = saved
+    if "e2e_lazer_inflight1_mpts" in out and "e2e_lazer_inflight3_mpts" in out:
+        out["inflight_speedup"] = round(
+            out["e2e_lazer_inflight3_mpts"] / out["e2e_lazer_inflight1_mpts"], 2
+        )
+    log(f"inflight comparison: {out}")
+    return out
 
 
 def main() -> None:
@@ -218,13 +346,31 @@ def main() -> None:
     baseline_pps = numpy_baseline(x, y, z, lo, hi)
     device_pps = device_scan(x, y, z, lo, hi)
 
-    # informational streaming bench; opt-in because a flaky tunnel window
-    # can stall the engine's H2D transfers past the driver's time budget
-    if os.environ.get("AQPC_BENCH_E2E"):
+    extras = {}
+    try:
+        extras.update(roofline())
+    except Exception as e:
+        log(f"roofline probes skipped: {e}")
+    extras["kernel_mpts"] = round(device_pps / 1e6, 1)
+    extras["kernel_gbs"] = round(device_pps * 12 / 1e9, 1)
+    if extras.get("roofline_reduce_gbs"):
+        extras["kernel_pct_of_reduce"] = round(
+            100.0 * extras["kernel_gbs"] / extras["roofline_reduce_gbs"], 1
+        )
+
+    # streaming engine measurement (disable with AQPC_BENCH_NO_E2E=1 if a
+    # flaky tunnel window stalls H2D transfers past the driver's budget)
+    if not os.environ.get("AQPC_BENCH_NO_E2E"):
         try:
-            end_to_end(Path(".bench_data"))
+            extras.update(end_to_end(Path(".bench_data")))
         except Exception as e:
             log(f"end-to-end bench skipped: {e}")
+
+    if os.environ.get("AQPC_BENCH_INFLIGHT"):
+        try:
+            extras.update(inflight_comparison(Path(".bench_data")))
+        except Exception as e:
+            log(f"inflight comparison skipped: {e}")
 
     print(
         json.dumps(
@@ -233,6 +379,7 @@ def main() -> None:
                 "value": round(device_pps / 1e6, 1),
                 "unit": "Mpts/s",
                 "vs_baseline": round(device_pps / baseline_pps, 2),
+                "extras": extras,
             }
         )
     )
