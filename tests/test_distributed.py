@@ -32,3 +32,61 @@ def test_global_mesh_spans_all_devices():
     import jax
 
     assert distributed.global_mesh().devices.size == len(jax.devices())
+
+
+def test_distributed_class_count_matches_engine(tmp_path):
+    from adhoc_queries_pointclouds_tpu.models.query import ClassQuery
+
+    synth.write_dataset(tmp_path, n_files=3, points_per_file=20_000, seed=32,
+                        formats=("last",))
+    plan = QueryPlan(classification=ClassQuery(6))
+    expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+    got = distributed.distributed_count(tmp_path / "last", plan, block_size=1 << 14)
+    assert got == expected > 0
+
+
+def test_distributed_time_count_matches_engine(tmp_path):
+    from adhoc_queries_pointclouds_tpu.models.query import TimeRangeQuery
+
+    synth.write_dataset(tmp_path, n_files=2, points_per_file=20_000, seed=33,
+                        formats=("last",), point_format=1)
+    plan = QueryPlan(time_range=TimeRangeQuery(100_000.0, 700_000.0))
+    expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+    got = distributed.distributed_count(tmp_path / "last", plan, block_size=1 << 14)
+    assert got == expected > 0
+
+
+def test_distributed_collect_matches_engine(tmp_path):
+    out = tmp_path / "out"
+    out.mkdir()
+    synth.write_dataset(tmp_path, n_files=3, points_per_file=20_000, seed=34,
+                        formats=("last",))
+    plan = QueryPlan(bounds=BoundsQuery(BOX), output_dir=out)
+    expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+    total, emitter = distributed.distributed_collect(
+        tmp_path / "last", plan, block_size=1 << 14, output_dir=out, keep_hits=True
+    )
+    assert total == expected > 0
+    # every written point must satisfy the predicate; totals match
+    from adhoc_queries_pointclouds_tpu.formats import LasFile
+
+    written = 0
+    for f in emitter.output_files:
+        back = LasFile(f)
+        w = back.positions_world()
+        assert np.all(BOX.contains_points(w))
+        written += back.point_count
+        back.close()
+    assert written == expected
+
+
+def test_distributed_collect_overflow_retry(tmp_path, monkeypatch):
+    monkeypatch.setenv("AQPC_COLLECT_CAP", "8")
+    synth.write_dataset(tmp_path, n_files=2, points_per_file=10_000, seed=35,
+                        formats=("last",))
+    plan = QueryPlan(bounds=BoundsQuery(BOX), print_points=True)
+    expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+    total, _ = distributed.distributed_collect(
+        tmp_path / "last", plan, block_size=1 << 14, keep_hits=True
+    )
+    assert total == expected > 0
