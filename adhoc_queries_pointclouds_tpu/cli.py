@@ -173,17 +173,17 @@ def _run_resident(args: argparse.Namespace, plan: QueryPlan) -> int:
 
     from .parallel.resident import ResidentDataset
 
-    if plan.collects_points or plan.time_range is not None:
-        print(
-            "--resident supports bbox/class count queries only (for now)",
-            file=sys.stderr,
-        )
-        return 1
+    attrs = []
+    if plan.bounds is not None or plan.density is not None:
+        attrs.append("position")
+    if plan.classification is not None:
+        attrs.append("classification")
+    if plan.time_range is not None:
+        attrs.append("gps_time")
     t0 = time.perf_counter()
-    attrs = ("position",) if plan.bounds is not None else ("classification",)
     ds = ResidentDataset.load(
         args.input,
-        attrs=attrs,
+        attrs=tuple(attrs),
         block_size=args.block_size or (1 << 21),
         workers=args.workers,
     )
@@ -192,6 +192,21 @@ def _run_resident(args: argparse.Namespace, plan: QueryPlan) -> int:
         f"Resident: {ds.total_points} points, "
         f"{ds.resident_bytes / 1048576.0:.1f} MiB in HBM, loaded in {load_s:.2f}s"
     )
+    if plan.collects_points:
+        # full collect surface against resident columns: HBM predicate +
+        # compaction, attributes gathered from disk only for hit rows
+        t0 = time.perf_counter()
+        count, emitter = ds.collect(
+            plan,
+            output_dir=plan.output_dir,
+            print_stream=sys.stdout if args.print_points else None,
+        )
+        dt = time.perf_counter() - t0
+        for f in emitter.output_files:
+            print(f"Wrote {f}")
+        print(f"Found {count} matching points")
+        print(f"query in {dt * 1e3:.2f} ms against resident data")
+        return 0
     count = ds.count(plan)  # warm (compile)
     t0 = time.perf_counter()
     for _ in range(args.repeat):

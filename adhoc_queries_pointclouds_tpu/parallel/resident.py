@@ -56,6 +56,10 @@ class ResidentDataset:
     ys: jax.Array | None = None
     zs: jax.Array | None = None
     cls: jax.Array | None = None  # (n_blocks, B) uint8, sharded over 'd'
+    # GPS times as the order-preserving (hi, lo) int32 split encoding —
+    # exact f64 range predicates with pure int32 device compares
+    ths: jax.Array | None = None
+    tls: jax.Array | None = None
     total_points: int = 0
 
     # ------------------------------------------------------------------
@@ -96,10 +100,13 @@ class ResidentDataset:
         block_start = np.zeros(n_blocks, np.int64)
         want_pos = "position" in attrs
         want_cls = "classification" in attrs
+        want_gps = "gps_time" in attrs
         xs = np.zeros((n_blocks, block_size), np.int32) if want_pos else None
         ys = np.zeros((n_blocks, block_size), np.int32) if want_pos else None
         zs = np.zeros((n_blocks, block_size), np.int32) if want_pos else None
         cls = np.zeros((n_blocks, block_size), np.uint8) if want_cls else None
+        ths = np.zeros((n_blocks, block_size), np.int32) if want_gps else None
+        tls = np.zeros((n_blocks, block_size), np.int32) if want_gps else None
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -116,6 +123,12 @@ class ResidentDataset:
                 zs[j, : stop - start] = p[:, 2]
             if want_cls:
                 cls[j, : stop - start] = r.column("classification", start, stop)
+            if want_gps:
+                th, tl = predicate.encode_f64_sortable(
+                    r.column("gps_time", start, stop)
+                )
+                ths[j, : stop - start] = th
+                tls[j, : stop - start] = tl
 
         with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
             list(pool.map(fill, range(len(tasks))))
@@ -133,17 +146,21 @@ class ResidentDataset:
             ys=_stack_sharded(mesh, ys) if want_pos else None,
             zs=_stack_sharded(mesh, zs) if want_pos else None,
             cls=_stack_sharded(mesh, cls) if want_cls else None,
+            ths=_stack_sharded(mesh, ths) if want_gps else None,
+            tls=_stack_sharded(mesh, tls) if want_gps else None,
             total_points=int(nvs.sum()),
         )
         for r in readers:
             r.close()
-        jax.block_until_ready([a for a in (ds.xs, ds.ys, ds.zs, ds.cls) if a is not None])
+        jax.block_until_ready(
+            [a for a in (ds.xs, ds.ys, ds.zs, ds.cls, ds.ths, ds.tls) if a is not None]
+        )
         return ds
 
     @property
     def resident_bytes(self) -> int:
         total = 0
-        for a in (self.xs, self.ys, self.zs, self.cls):
+        for a in (self.xs, self.ys, self.zs, self.cls, self.ths, self.tls):
             if a is not None:
                 total += a.size * a.dtype.itemsize
         return total
@@ -192,20 +209,169 @@ class ResidentDataset:
             )
         )
 
-    def density_count(self, plan: QueryPlan) -> int:
-        """Max-density sampled count against resident blocks.
+    def _time_fn(self):
+        mesh = self.mesh
 
-        Runs the per-block device segment-min (ops/density.py) over blocks
-        that are already in HBM — no disk, no decode — then the sparse host
-        merge. Per-file or global scope per the plan."""
+        def f(ths, tls, q, nvs):
+            idx = jax.lax.broadcasted_iota(jnp.int32, ths.shape, 1)
+            ge = (ths > q[0]) | ((ths == q[0]) & (tls >= q[1]))
+            lt = (ths < q[2]) | ((ths == q[2]) & (tls < q[3]))
+            m = ge & lt & (idx < nvs[:, None])
+            return jnp.sum(m, axis=1, dtype=jnp.int32)
+
+        return jax.jit(
+            shard_map(
+                f,
+                mesh=mesh,
+                in_specs=(P("d", None), P("d", None), P(), P("d")),
+                out_specs=P("d"),
+                check_vma=False,
+            )
+        )
+
+    def _block_mask(self, b: int, plan: QueryPlan, bounds_per_file: dict):
+        """Predicate mask for one resident block (retry/density paths)."""
+        from ..ops import predicate
+
+        i = int(self.file_idx[b])
+        nv = int(self.nvs[b])
+        if plan.bounds is not None:
+            lo, hi = bounds_per_file[i]
+            return predicate.bbox_mask(
+                self.xs[b], self.ys[b], self.zs[b],
+                jnp.asarray(lo), jnp.asarray(hi), nv,
+            )
+        if plan.time_range is not None:
+            q = np.asarray(
+                predicate.encode_f64_scalar(plan.time_range.start)
+                + predicate.encode_f64_scalar(plan.time_range.end),
+                np.int32,
+            )
+            return predicate.time_mask_jnp(
+                self.ths[b], self.tls[b], jnp.asarray(q), jnp.asarray(nv, jnp.int32)
+            )
+        return predicate.class_mask(
+            self.cls[b], jnp.asarray(plan.classification.classification, jnp.int32), nv
+        )
+
+    def _file_bounds(self, plan: QueryPlan) -> dict:
+        """Per-file integer query bounds + header prefilter (empty box for
+        pruned files so padded blocks match nothing)."""
+        out = {}
+        for i, h in enumerate(self.headers):
+            if not h.bounds.intersects(plan.bounds.bounds):
+                continue
+            lo64, hi64 = local_query_bounds(
+                plan.bounds.bounds, h.scale, h.offset, parity_quirk=plan.parity_quirk
+            )
+            out[i] = clamp_bounds_to_i32(lo64, hi64)
+        return out
+
+    def collect(
+        self,
+        plan: QueryPlan,
+        *,
+        output_dir=None,
+        print_stream=None,
+        keep_hits: bool = False,
+        cap: int = 8192,
+    ):
+        """Collect matching points: HBM-resident predicate + compaction (one
+        sharded dispatch for the whole dataset), hit attributes gathered
+        from the source files only for hit rows. Returns (count, HitEmitter).
+
+        This is the serving analog of the engine's collect path: the scan
+        never touches disk; disk IO is proportional to the result size."""
+        from ..formats import open_point_cloud
+        from ..ops import compact, predicate
+        from ..sinks import HitEmitter
+
+        if plan.density is not None:
+            return self.density_collect(
+                plan, output_dir=output_dir, print_stream=print_stream,
+                keep_hits=keep_hits,
+            )
+        is_bounds = plan.bounds is not None
+        is_time = plan.time_range is not None
+        kind = "bbox" if is_bounds else ("time" if is_time else "class")
+        if is_bounds and self.xs is None:
+            raise ValueError("dataset loaded without position columns")
+        if is_time and self.ths is None:
+            raise ValueError("dataset loaded without gps_time columns")
+        if kind == "class" and self.cls is None:
+            raise ValueError("dataset loaded without classification column")
+
+        cap = min(cap, self.block_size)
+        nvs_eff = self.nvs.copy()
+        bounds_per_file = {}
+        if is_bounds:
+            bounds_per_file = self._file_bounds(plan)
+            los = np.zeros((self.n_blocks, 3), np.int32)
+            his = np.full((self.n_blocks, 3), -1, np.int32)
+            for i, (lo, hi) in bounds_per_file.items():
+                sel = self.file_idx == i
+                los[sel] = lo
+                his[sel] = hi
+            arrays = (self.xs, self.ys, self.zs, jnp.asarray(los),
+                      jnp.asarray(his), jnp.asarray(nvs_eff))
+        elif is_time:
+            q = np.asarray(
+                predicate.encode_f64_scalar(plan.time_range.start)
+                + predicate.encode_f64_scalar(plan.time_range.end),
+                np.int32,
+            )
+            arrays = (self.ths, self.tls, jnp.asarray(np.tile(q, (self.n_blocks, 1))),
+                      jnp.asarray(nvs_eff))
+        else:
+            targets = np.full(self.n_blocks, plan.classification.classification, np.int32)
+            arrays = (self.cls, jnp.asarray(targets), jnp.asarray(nvs_eff))
+
+        counts_dev, idx_dev = mesh_mod.sharded_collect(self.mesh, kind, arrays, cap)
+        counts = np.asarray(counts_dev)
+        idx_np = np.asarray(idx_dev) if (counts > 0).any() else None
+
+        readers = [open_point_cloud(f) for f in self.files]
+        emitter = HitEmitter(
+            readers, output_dir=output_dir, print_stream=print_stream,
+            keep_hits=keep_hits,
+        )
+        try:
+            for b in range(self.n_blocks):
+                i = int(self.file_idx[b])
+                if i < 0:
+                    continue
+                c = int(counts[b])
+                nv = int(self.nvs[b])
+                start = int(self.block_start[b])
+                if c == 0:
+                    continue
+                if c == nv:
+                    emitter.emit_range(i, start, start + nv)
+                    continue
+                if c <= cap:
+                    local = idx_np[b, :c]
+                else:
+                    cap2 = compact.pow2_bucket(c, self.block_size)
+                    mask = self._block_mask(b, plan, bounds_per_file)
+                    idx2, _ = compact.compact_indices(mask, cap=cap2)
+                    local = np.asarray(idx2[:c])
+                emitter.emit_indices(i, local.astype(np.int64) + start)
+            for i in range(len(self.files)):
+                emitter.finalize_file(i)
+        finally:
+            for r in readers:
+                r.close()
+        return emitter.total, emitter
+
+    def density_states(self, plan: QueryPlan):
+        """Run the density query against resident blocks; returns
+        (per-file states dict, global state) — exactly one is populated."""
         from ..ops import density as density_ops, predicate
 
         if plan.density is None:
-            raise ValueError("density_count needs a density plan")
-        if plan.time_range is not None:
-            raise NotImplementedError(
-                "resident mode does not support GPS-time predicates (f64 on host)"
-            )
+            raise ValueError("density_states needs a density plan")
+        if plan.time_range is not None and self.ths is None:
+            raise ValueError("dataset loaded without gps_time columns")
         if self.xs is None:
             raise ValueError("dataset loaded without position columns")
         if plan.bounds is not None:
@@ -246,15 +412,7 @@ class ResidentDataset:
                 continue
             xb, yb, zb = self.xs[b], self.ys[b], self.zs[b]
             nv = int(self.nvs[b])
-            if plan.bounds is not None:
-                lo, hi = bounds_per_file[i]
-                mask = predicate.bbox_mask(xb, yb, zb, jnp.asarray(lo), jnp.asarray(hi), nv)
-            else:
-                if self.cls is None:
-                    raise ValueError("dataset loaded without classification column")
-                mask = predicate.class_mask(
-                    self.cls[b], jnp.asarray(plan.classification.classification, jnp.int32), nv
-                )
+            mask = self._block_mask(b, plan, bounds_per_file)
             # device candidate selection; exact f64 keys/d2 resolved on host
             # for the few candidates (ops/density.py design)
             cnt, idx = density_ops.block_density_candidates(
@@ -287,22 +445,80 @@ class ResidentDataset:
                 states[i] = density_ops.merge_winners_host(states.get(i), winners)
             else:
                 global_state = density_ops.merge_winners_host(global_state, winners)
-        if per_file_scope:
+        return states, global_state
+
+    def density_count(self, plan: QueryPlan) -> int:
+        """Max-density sampled count against resident blocks."""
+        states, global_state = self.density_states(plan)
+        if plan.density.scope == "file":
             return sum(len(s) for s in states.values() if s is not None)
         return 0 if global_state is None else len(global_state)
+
+    def density_collect(
+        self, plan: QueryPlan, *, output_dir=None, print_stream=None,
+        keep_hits: bool = False,
+    ):
+        """Density-sampled collection: winner attributes gathered from the
+        source files. Returns (count, HitEmitter)."""
+        from ..formats import open_point_cloud
+        from ..sinks import HitEmitter, concat_hits, empty_hits, gather_hits
+
+        states, global_state = self.density_states(plan)
+        readers = [open_point_cloud(f) for f in self.files]
+        emitter = HitEmitter(
+            readers, output_dir=output_dir, print_stream=print_stream,
+            keep_hits=keep_hits,
+        )
+
+        def to_hits(state, i):
+            if state is None or len(state) == 0:
+                return empty_hits(i)
+            return gather_hits(readers[i], np.sort(state["gidx"]), i)
+
+        try:
+            if plan.density.scope == "file":
+                for i in range(len(self.files)):
+                    emitter.emit_hits(i, to_hits(states.get(i), i))
+                    emitter.finalize_file(i)
+            else:
+                combined = []
+                if global_state is not None and len(global_state):
+                    for i in np.unique(global_state["file_idx"]):
+                        sub = global_state[global_state["file_idx"] == i]
+                        combined.append(to_hits(sub, int(i)))
+                merged = concat_hits(combined)
+                emitter.emit_hits(-1, merged)
+                emitter.finalize_file(-1)
+        finally:
+            for r in readers:
+                r.close()
+        return emitter.total, emitter
 
     def count(self, plan: QueryPlan) -> int:
         """One resident ad-hoc count query = one device dispatch
         (density plans: one dispatch per resident block + host merge)."""
-        if plan.time_range is not None:
-            raise NotImplementedError(
-                "resident mode supports bbox/class counts; GPS-time queries "
-                "use the streaming engine (f64 predicate runs on the host)"
-            )
         if plan.density is not None:
             return self.density_count(plan)
         if plan.collects_points:
-            raise NotImplementedError("resident mode supports count queries")
+            raise NotImplementedError(
+                "use ResidentDataset.collect() for point materialization"
+            )
+        if plan.time_range is not None:
+            if self.ths is None:
+                raise ValueError("dataset loaded without gps_time columns")
+            from ..ops import predicate
+
+            q = np.asarray(
+                predicate.encode_f64_scalar(plan.time_range.start)
+                + predicate.encode_f64_scalar(plan.time_range.end),
+                np.int32,
+            )
+            if not hasattr(self, "_time_jit"):
+                self._time_jit = self._time_fn()
+            counts = self._time_jit(
+                self.ths, self.tls, jnp.asarray(q), jnp.asarray(self.nvs)
+            )
+            return int(np.asarray(counts).astype(np.int64).sum())
         nvs = jnp.asarray(self.nvs)
         if plan.bounds is not None:
             if self.xs is None:

@@ -58,16 +58,78 @@ def test_resident_blocks_padded_to_mesh(resident):
     assert resident.total_points == 75_000
 
 
-def test_resident_collect_rejected(resident, tmp_path):
-    with pytest.raises(NotImplementedError):
+def test_resident_count_rejects_collect_plan(resident, tmp_path):
+    with pytest.raises(NotImplementedError, match="collect"):
         resident.count(QueryPlan(bounds=BoundsQuery(BOX), output_dir=tmp_path))
 
 
-def test_resident_time_range_rejected(resident):
+def test_resident_time_range_needs_gps_columns(resident):
     from adhoc_queries_pointclouds_tpu.models.query import TimeRangeQuery
 
-    with pytest.raises(NotImplementedError, match="GPS-time"):
+    with pytest.raises(ValueError, match="gps_time"):
         resident.count(QueryPlan(time_range=TimeRangeQuery(0.0, 1.0)))
+
+
+def test_resident_collect_matches_streaming(ds, resident, tmp_path):
+    """Full collect surface against HBM-resident columns: counts, written
+    LAS, and per-point attributes all match the streaming engine."""
+    from adhoc_queries_pointclouds_tpu.formats import LasFile
+
+    root, files = ds
+    plan = QueryPlan(bounds=BoundsQuery(BOX), output_dir=tmp_path)
+    streaming = run_query(
+        root / "last", plan, block_size=1 << 14, keep_hits=True
+    )
+    count, emitter = resident.collect(plan, output_dir=tmp_path, keep_hits=True)
+    assert count == streaming.match_count > 0
+    for got, want in zip(emitter.all_hits, streaming.hits):
+        np.testing.assert_array_equal(got.position_world, want.position_world)
+        np.testing.assert_array_equal(got.classification, want.classification)
+    written = 0
+    for f in emitter.output_files:
+        back = LasFile(f)
+        assert np.all(BOX.contains_points(back.positions_world()))
+        written += back.point_count
+        back.close()
+    assert written == count
+
+
+def test_resident_collect_overflow_retry(ds, resident):
+    huge = AABB((-1e9,) * 3, (1e9,) * 3)
+    count, _ = resident.collect(QueryPlan(bounds=BoundsQuery(huge), print_points=True),
+                                cap=8, keep_hits=False)
+    assert count == resident.total_points
+
+
+def test_resident_time_count_and_collect(tmp_path):
+    from adhoc_queries_pointclouds_tpu.models.query import TimeRangeQuery
+
+    files = synth.write_dataset(tmp_path, n_files=2, points_per_file=12_000,
+                                seed=19, formats=("last",), point_format=1)
+    plan = QueryPlan(time_range=TimeRangeQuery(200_000.0, 800_000.0))
+    streaming = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+    res = ResidentDataset.load(tmp_path / "last", block_size=1 << 14,
+                               attrs=("position", "gps_time"))
+    assert res.count(plan) == streaming > 0
+    plan2 = QueryPlan(time_range=TimeRangeQuery(200_000.0, 800_000.0),
+                      print_points=True)
+    count, _ = res.collect(plan2, keep_hits=False)
+    assert count == streaming
+
+
+def test_resident_density_collect(ds, tmp_path):
+    from adhoc_queries_pointclouds_tpu.formats import LasFile
+    from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
+
+    root, _ = ds
+    res = ResidentDataset.load(root / "last", block_size=1 << 14)
+    plan = QueryPlan(bounds=BoundsQuery(BOX), density=DensityConfig(50.0),
+                     output_dir=tmp_path)
+    streaming = run_query(root / "last", plan, block_size=1 << 14).match_count
+    count, emitter = res.collect(plan, output_dir=tmp_path)
+    assert count == streaming > 0
+    written = sum(LasFile(f).point_count for f in emitter.output_files)
+    assert written == count
 
 
 def test_resident_density_matches_streaming(ds, resident):

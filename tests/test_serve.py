@@ -92,3 +92,33 @@ def test_serve_subprocess_protocol(ds_dir):
     assert lines[3]["count"] > 0
     assert "error" in lines[4]
     assert lines[5]["bye"] is True
+
+
+def test_serve_collect_and_output(ds_dir, tmp_path):
+    """The serve protocol answers collect requests with points and can write
+    matching points as LAS (the full resident query surface)."""
+    path, files = ds_dir
+    ds = ResidentDataset.load(path, block_size=1 << 14)
+    box = [100200.0, 200300.0, 10.0, 100900.0, 200900.0, 70.0]
+
+    r = handle_request(ds, {"bounds": box, "collect": True, "limit": 50}, str(path))
+    assert r["count"] > 50
+    assert len(r["points"]) == 50 and r["truncated"] is True
+    for p in r["points"]:
+        assert len(p) == 4  # x y z class
+        assert all(box[k] <= p[k] <= box[k + 3] for k in range(3))
+
+    out = tmp_path / "served"
+    out.mkdir()
+    r2 = handle_request(ds, {"bounds": box, "output": str(out)}, str(path))
+    assert r2["count"] == r["count"]
+    assert r2["files"], "expected written LAS files"
+    from adhoc_queries_pointclouds_tpu.formats import LasFile
+
+    written = sum(LasFile(f).point_count for f in r2["files"])
+    assert written == r2["count"]
+
+    # density + collect composes
+    r3 = handle_request(ds, {"bounds": box, "density": 100.0, "collect": True}, str(path))
+    assert 0 < r3["count"] <= r["count"]
+    assert len(r3["points"]) == r3["count"]
