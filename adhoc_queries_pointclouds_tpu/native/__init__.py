@@ -91,19 +91,43 @@ def load() -> ctypes.CDLL | None:
         lib.aqpc_laz_write_chunk_table.restype = ctypes.c_int64
         lib.aqpc_laz_write_chunk_table.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_size_t]
+        lib.aqpc_laz_read_chunk_table_var.restype = ctypes.c_int64
+        lib.aqpc_laz_read_chunk_table_var.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.aqpc_laz_write_chunk_table_var.restype = ctypes.c_int64
+        lib.aqpc_laz_write_chunk_table_var.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_size_t]
         lib.aqpc_laz_decode_chunks.restype = ctypes.c_int64
         lib.aqpc_laz_decode_chunks.argtypes = (
             [ctypes.c_void_p, ctypes.c_size_t]  # file, size
-            + [ctypes.c_void_p] * 3             # offsets, byte sizes, point counts
+            + [ctypes.c_void_p] * 4             # offsets, sizes, counts, out offsets
             + [ctypes.c_int64]                  # n_chunks
             + [ctypes.c_void_p] * 12            # x..extra
             + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra_size, gps, rgb
-               ctypes.c_int64, ctypes.c_int64]  # points_per_chunk, threads
+               ctypes.c_int64]                  # threads
         )
         lib.aqpc_laz_encode_chunks.restype = ctypes.c_int64
         lib.aqpc_laz_encode_chunks.argtypes = (
             [ctypes.c_void_p] * 12              # x..extra
             + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra_size, gps, rgb
+               ctypes.c_int64, ctypes.c_int64]  # n_points, chunk_size
+            + [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int64]
+        )
+        lib.aqpc_laz14_decode_chunks.restype = ctypes.c_int64
+        lib.aqpc_laz14_decode_chunks.argtypes = (
+            [ctypes.c_void_p, ctypes.c_size_t]  # file, size
+            + [ctypes.c_void_p] * 4             # offsets, sizes, counts, out offsets
+            + [ctypes.c_int64]                  # n_chunks
+            + [ctypes.c_void_p] * 14            # x..extra (incl. nir)
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra, rgb, nir
+               ctypes.c_int64]                  # threads
+        )
+        lib.aqpc_laz14_encode_chunks.restype = ctypes.c_int64
+        lib.aqpc_laz14_encode_chunks.argtypes = (
+            [ctypes.c_void_p] * 14              # x..extra (incl. nir)
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra, rgb, nir
                ctypes.c_int64, ctypes.c_int64]  # n_points, chunk_size
             + [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int64]
         )

@@ -1297,6 +1297,661 @@ static void encode_chunk(std::vector<U8>& out, I64 count, const Columns& c,
   out.insert(out.end(), e.out.begin(), e.out.end());
 }
 
+
+// ===========================================================================
+// LAS 1.4 / LASzip v3 "layered" codec (point formats 6-10; POINT14, RGB14,
+// RGBNIR14, BYTE14 items). Structure follows the open LASzip v3 design:
+// each chunk = [raw first point][u32 byte count per layer][independent
+// arithmetic-coded layer streams], with four scanner-channel contexts for
+// the POINT14 models.
+//
+// INTEROP RISK notes (self-roundtrip is exact; third-party v3 files may
+// not decode bit-exactly): the 16x16 number-return context tables are
+// derived here by clamping the published 8x8 v2 tables; RGB14/NIR/BYTE14
+// use single shared model instances rather than per-scanner-channel
+// copies; layer-internal model choices marked below follow this file's
+// self-consistent conventions where the upstream constant was uncertain.
+// ===========================================================================
+
+// 16x16 context maps for up to 15 returns, derived from the published 8x8
+// tables by clamping (INTEROP RISK: upstream uses dedicated 16x16 tables)
+static inline U32 nrmap6(U32 n, U32 r) {
+  U8 v = number_return_map[n > 7 ? 7 : n][r > 7 ? 7 : r];
+  return v > 5 ? 5 : v;
+}
+static inline U32 nrlevel8(U32 n, U32 r) {
+  return number_return_level[n > 7 ? 7 : n][r > 7 ? 7 : r];
+}
+
+// raw LAS 1.4 point-record fields (the 30-byte format-6 core)
+struct Point14 {
+  I32 x = 0, y = 0, z = 0;
+  U16 intensity = 0;
+  U8 ret = 0;          // return number (4 bits)
+  U8 nret = 0;         // number of returns (4 bits)
+  U8 class_flags = 0;  // 4 bits
+  U8 channel = 0;      // scanner channel, 2 bits
+  U8 dir = 0, edge = 0;
+  U8 classification = 0, user_data = 0;
+  I16 scan_angle = 0;
+  U16 point_source = 0;
+  U64 gps = 0;  // f64 bits
+  bool gps_time_change = false;
+};
+
+static void read_raw_point14(const U8* p, Point14& pt) {
+  std::memcpy(&pt.x, p, 4);
+  std::memcpy(&pt.y, p + 4, 4);
+  std::memcpy(&pt.z, p + 8, 4);
+  std::memcpy(&pt.intensity, p + 12, 2);
+  pt.ret = p[14] & 15;
+  pt.nret = p[14] >> 4;
+  pt.class_flags = p[15] & 15;
+  pt.channel = (p[15] >> 4) & 3;
+  pt.dir = (p[15] >> 6) & 1;
+  pt.edge = (p[15] >> 7) & 1;
+  pt.classification = p[16];
+  pt.user_data = p[17];
+  std::memcpy(&pt.scan_angle, p + 18, 2);
+  std::memcpy(&pt.point_source, p + 20, 2);
+  std::memcpy(&pt.gps, p + 22, 8);
+}
+
+static void write_raw_point14(std::vector<U8>& out, const Point14& pt) {
+  size_t base = out.size();
+  out.resize(base + 30);
+  U8* p = out.data() + base;
+  std::memcpy(p, &pt.x, 4);
+  std::memcpy(p + 4, &pt.y, 4);
+  std::memcpy(p + 8, &pt.z, 4);
+  std::memcpy(p + 12, &pt.intensity, 2);
+  p[14] = (U8)((pt.ret & 15) | (pt.nret << 4));
+  p[15] = (U8)((pt.class_flags & 15) | (pt.channel << 4) | (pt.dir << 6) |
+               (pt.edge << 7));
+  p[16] = pt.classification;
+  p[17] = pt.user_data;
+  std::memcpy(p + 18, &pt.scan_angle, 2);
+  std::memcpy(p + 20, &pt.point_source, 2);
+  std::memcpy(p + 22, &pt.gps, 8);
+}
+
+// one POINT14 model context (per scanner channel)
+struct P14Ctx {
+  bool unused = true;
+  Point14 last{};
+  U16 last_intensity[8];
+  StreamingMedian5 medx[12], medy[12];
+  I32 last_z[8];
+  SymbolModel m_changed_values[8];  // 128 symbols each
+  SymbolModel m_scanner_channel;    // 3
+  SymbolModel m_nr[16];             // 16 each
+  SymbolModel m_rn[16];             // 16 each
+  SymbolModel m_rn_gps_same;        // 13
+  IntegerCompressor ic_dx, ic_dy, ic_z, ic_int, ic_ang, ic_psrc;
+  SymbolModel m_cls[64];    // 256 each
+  SymbolModel m_flags[64];  // 64 each
+  SymbolModel m_ud[64];     // 256 each
+  GpsTime11v2 gps;
+
+  void init_from(const Point14& seed, bool w) {
+    unused = false;
+    last = seed;
+    last.gps_time_change = false;
+    for (int i = 0; i < 8; i++) last_intensity[i] = seed.intensity;
+    for (int i = 0; i < 12; i++) {
+      medx[i] = StreamingMedian5();
+      medy[i] = StreamingMedian5();
+    }
+    for (int i = 0; i < 8; i++) last_z[i] = seed.z;
+    for (int i = 0; i < 8; i++) m_changed_values[i].init(128, w);
+    m_scanner_channel.init(3, w);
+    for (int i = 0; i < 16; i++) {
+      m_nr[i].init(16, w);
+      m_rn[i].init(16, w);
+    }
+    m_rn_gps_same.init(13, w);
+    ic_dx.init(32, 2, w);
+    ic_dy.init(32, 22, w);
+    ic_z.init(32, 20, w);
+    ic_int.init(16, 4, w);
+    ic_ang.init(16, 2, w);
+    ic_psrc.init(16, 1, w);
+    for (int i = 0; i < 64; i++) {
+      m_cls[i].init(256, w);
+      m_flags[i].init(64, w);
+      m_ud[i].init(256, w);
+    }
+    gps.init(seed.gps, w);
+  }
+};
+
+// POINT14 v3 layer order
+enum {
+  L14_XY = 0, L14_Z, L14_CLS, L14_FLAGS, L14_INT, L14_ANG, L14_UD, L14_PSRC,
+  L14_GPS, L14_COUNT
+};
+
+struct Point14v3Reader {
+  P14Ctx ctx[4];
+  U32 cc = 0;
+  Decoder d[L14_COUNT];
+  bool have[L14_COUNT];
+
+  void init(const Point14& first, const U8* const* layer, const U32* nbytes) {
+    for (int i = 0; i < 4; i++) ctx[i].unused = true;
+    cc = first.channel;
+    ctx[cc].init_from(first, false);
+    for (int i = 0; i < L14_COUNT; i++) {
+      have[i] = nbytes[i] > 0;
+      if (have[i]) d[i].init(layer[i], nbytes[i]);
+    }
+  }
+
+  void read(Point14& p) {
+    P14Ctx* c = &ctx[cc];
+    U32 lpr = (c->last.ret == 1 ? 1u : 0u) |
+              (c->last.ret >= c->last.nret ? 2u : 0u) |
+              (c->last.gps_time_change ? 4u : 0u);
+    U32 chv = d[L14_XY].decodeSymbol(c->m_changed_values[lpr]);
+    if (chv & 64) {  // scanner channel changed
+      U32 diff = d[L14_XY].decodeSymbol(c->m_scanner_channel);
+      U32 nc = (cc + diff + 1) & 3;
+      if (ctx[nc].unused) ctx[nc].init_from(c->last, false);
+      cc = nc;
+      c = &ctx[cc];
+      c->last.channel = (U8)cc;
+    }
+    bool psrc_change = (chv & 32) != 0;
+    bool gpsc = (chv & 16) != 0;
+    bool angc = (chv & 8) != 0;
+    U8 n = (chv & 4) ? (U8)d[L14_XY].decodeSymbol(c->m_nr[c->last.nret])
+                     : c->last.nret;
+    U8 r;
+    switch (chv & 3) {
+      case 0: r = c->last.ret; break;
+      case 1: r = (U8)((c->last.ret + 1) & 15); break;
+      case 2: r = (U8)((c->last.ret + 15) & 15); break;
+      default:
+        if (gpsc) r = (U8)d[L14_XY].decodeSymbol(c->m_rn[c->last.ret]);
+        else
+          r = (U8)((c->last.ret + d[L14_XY].decodeSymbol(c->m_rn_gps_same) + 2) & 15);
+    }
+    U32 m = nrmap6(n, r);
+    U32 l = nrlevel8(n, r);
+    U32 gctx = gpsc ? 1u : 0u;
+    U32 med = (m << 1) | gctx;
+
+    I32 diffx = c->ic_dx.decompress(d[L14_XY], c->medx[med].get(), n == 1 ? 1 : 0);
+    p.x = c->last.x + diffx;
+    c->medx[med].add(diffx);
+    U32 kb = c->ic_dx.getK();
+    I32 diffy = c->ic_dy.decompress(
+        d[L14_XY], c->medy[med].get(),
+        (n == 1 ? 1u : 0u) + (kb < 20 ? zero_bit_0(kb) : 20u));
+    p.y = c->last.y + diffy;
+    c->medy[med].add(diffy);
+
+    if (have[L14_Z]) {
+      U32 kz = (c->ic_dx.getK() + c->ic_dy.getK()) / 2;
+      p.z = c->ic_z.decompress(d[L14_Z], c->last_z[l],
+                               (n == 1 ? 1u : 0u) + (kz < 18 ? zero_bit_0(kz) : 18u));
+      c->last_z[l] = p.z;
+    } else p.z = c->last.z;
+
+    U32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+    if (have[L14_CLS]) {
+      U32 ci = ((c->last.classification & 0x1F) << 1) | (cpr == 3 ? 1u : 0u);
+      p.classification = (U8)d[L14_CLS].decodeSymbol(c->m_cls[ci]);
+    } else p.classification = c->last.classification;
+
+    if (have[L14_FLAGS]) {
+      U32 lf = c->last.class_flags | (c->last.dir << 4) | (c->last.edge << 5);
+      U32 f = d[L14_FLAGS].decodeSymbol(c->m_flags[lf]);
+      p.class_flags = f & 15;
+      p.dir = (f >> 4) & 1;
+      p.edge = (f >> 5) & 1;
+    } else {
+      p.class_flags = c->last.class_flags;
+      p.dir = c->last.dir;
+      p.edge = c->last.edge;
+    }
+
+    if (have[L14_INT]) {
+      U32 ii = (cpr << 1) | gctx;
+      I32 v = c->ic_int.decompress(d[L14_INT], c->last_intensity[ii], cpr);
+      p.intensity = (U16)v;
+      c->last_intensity[ii] = (U16)v;
+    } else p.intensity = c->last.intensity;
+
+    if (angc && have[L14_ANG])
+      p.scan_angle = (I16)c->ic_ang.decompress(d[L14_ANG], c->last.scan_angle, gctx);
+    else p.scan_angle = c->last.scan_angle;
+
+    if (have[L14_UD])
+      p.user_data = (U8)d[L14_UD].decodeSymbol(c->m_ud[c->last.user_data / 4]);
+    else p.user_data = c->last.user_data;
+
+    if (psrc_change && have[L14_PSRC])
+      p.point_source = (U16)c->ic_psrc.decompress(d[L14_PSRC], c->last.point_source, 0);
+    else p.point_source = c->last.point_source;
+
+    if (gpsc && have[L14_GPS]) c->gps.read(d[L14_GPS], p.gps);
+    else p.gps = c->last.gps;
+
+    p.ret = r;
+    p.nret = n;
+    p.channel = (U8)cc;
+    p.gps_time_change = gpsc;
+    c->last = p;
+  }
+};
+
+struct Point14v3Writer {
+  P14Ctx ctx[4];
+  U32 cc = 0;
+  Encoder e[L14_COUNT];
+  bool used[L14_COUNT];
+
+  void init(const Point14& first) {
+    for (int i = 0; i < 4; i++) ctx[i].unused = true;
+    cc = first.channel;
+    ctx[cc].init_from(first, true);
+    for (int i = 0; i < L14_COUNT; i++) {
+      e[i].init();
+      used[i] = false;
+    }
+  }
+
+  void write(const Point14& p) {
+    P14Ctx* c = &ctx[cc];
+    U32 nc = p.channel & 3;
+    const Point14& ref = (nc == cc || ctx[nc].unused) ? c->last : ctx[nc].last;
+    U32 chv = 0;
+    if (nc != cc) chv |= 64;
+    if (p.point_source != ref.point_source) chv |= 32;
+    if (p.gps != ref.gps) chv |= 16;
+    if (p.scan_angle != ref.scan_angle) chv |= 8;
+    if (p.nret != ref.nret) chv |= 4;
+    U32 rcode;
+    if (p.ret == ref.ret) rcode = 0;
+    else if (p.ret == ((ref.ret + 1) & 15)) rcode = 1;
+    else if (p.ret == ((ref.ret + 15) & 15)) rcode = 2;
+    else rcode = 3;
+    chv |= rcode;
+
+    U32 lpr = (c->last.ret == 1 ? 1u : 0u) |
+              (c->last.ret >= c->last.nret ? 2u : 0u) |
+              (c->last.gps_time_change ? 4u : 0u);
+    used[L14_XY] = true;
+    e[L14_XY].encodeSymbol(c->m_changed_values[lpr], chv);
+    if (chv & 64) {
+      U32 diff = (nc + 4 - cc - 1) & 3;  // in {0,1,2}
+      e[L14_XY].encodeSymbol(c->m_scanner_channel, diff);
+      if (ctx[nc].unused) ctx[nc].init_from(c->last, true);
+      cc = nc;
+      c = &ctx[cc];
+      c->last.channel = (U8)cc;
+    }
+    bool gpsc = (chv & 16) != 0;
+    if (chv & 4) e[L14_XY].encodeSymbol(c->m_nr[c->last.nret], p.nret);
+    if (rcode == 3) {
+      if (gpsc) e[L14_XY].encodeSymbol(c->m_rn[c->last.ret], p.ret);
+      else
+        e[L14_XY].encodeSymbol(c->m_rn_gps_same,
+                               (p.ret + 16 - c->last.ret - 2) & 15);
+    }
+    U8 n = p.nret, r = p.ret;
+    U32 m = nrmap6(n, r);
+    U32 l = nrlevel8(n, r);
+    U32 gctx = gpsc ? 1u : 0u;
+    U32 med = (m << 1) | gctx;
+
+    I32 diffx = p.x - c->last.x;
+    c->ic_dx.compress(e[L14_XY], c->medx[med].get(), diffx, n == 1 ? 1 : 0);
+    c->medx[med].add(diffx);
+    U32 kb = c->ic_dx.getK();
+    I32 diffy = p.y - c->last.y;
+    c->ic_dy.compress(e[L14_XY], c->medy[med].get(), diffy,
+                      (n == 1 ? 1u : 0u) + (kb < 20 ? zero_bit_0(kb) : 20u));
+    c->medy[med].add(diffy);
+
+    used[L14_Z] = true;
+    U32 kz = (c->ic_dx.getK() + c->ic_dy.getK()) / 2;
+    c->ic_z.compress(e[L14_Z], c->last_z[l], p.z,
+                     (n == 1 ? 1u : 0u) + (kz < 18 ? zero_bit_0(kz) : 18u));
+    c->last_z[l] = p.z;
+
+    U32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+    used[L14_CLS] = true;
+    U32 ci = ((c->last.classification & 0x1F) << 1) | (cpr == 3 ? 1u : 0u);
+    e[L14_CLS].encodeSymbol(c->m_cls[ci], p.classification);
+
+    used[L14_FLAGS] = true;
+    U32 lf = c->last.class_flags | (c->last.dir << 4) | (c->last.edge << 5);
+    U32 f = (p.class_flags & 15) | (p.dir << 4) | (p.edge << 5);
+    e[L14_FLAGS].encodeSymbol(c->m_flags[lf], f);
+
+    used[L14_INT] = true;
+    U32 ii = (cpr << 1) | gctx;
+    c->ic_int.compress(e[L14_INT], c->last_intensity[ii], p.intensity, cpr);
+    c->last_intensity[ii] = p.intensity;
+
+    if (chv & 8) {
+      used[L14_ANG] = true;
+      c->ic_ang.compress(e[L14_ANG], c->last.scan_angle, p.scan_angle, gctx);
+    }
+
+    used[L14_UD] = true;
+    e[L14_UD].encodeSymbol(c->m_ud[c->last.user_data / 4], p.user_data);
+
+    if (chv & 32) {
+      used[L14_PSRC] = true;
+      c->ic_psrc.compress(e[L14_PSRC], c->last.point_source, p.point_source, 0);
+    }
+    if (gpsc) {
+      used[L14_GPS] = true;
+      c->gps.write(e[L14_GPS], p.gps);
+    }
+    Point14 stored = p;
+    stored.gps_time_change = gpsc;
+    c->last = stored;
+  }
+};
+
+// NIR channel codec (RGBNIR14's second layer) — same two-byte diff scheme
+// as the RGB low/high bytes
+struct Nir14v3 {
+  U16 last = 0;
+  SymbolModel m_used;     // 4 symbols: bit0 low byte changed, bit1 high
+  SymbolModel m_diff[2];  // 256 each
+
+  void init(U16 first, bool w) {
+    last = first;
+    m_used.init(4, w);
+    m_diff[0].init(256, w);
+    m_diff[1].init(256, w);
+  }
+  void read(Decoder& d, U16& nir) {
+    U32 sym = d.decodeSymbol(m_used);
+    U8 lo = (sym & 1) ? u8_fold((I32)d.decodeSymbol(m_diff[0]) + (last & 255))
+                      : (U8)(last & 255);
+    U8 hi = (sym & 2) ? u8_fold((I32)d.decodeSymbol(m_diff[1]) + (last >> 8))
+                      : (U8)(last >> 8);
+    nir = last = (U16)(lo | ((U16)hi << 8));
+  }
+  void write(Encoder& e, U16 nir) {
+    U32 sym = 0;
+    if ((nir & 255) != (last & 255)) sym |= 1;
+    if ((nir >> 8) != (last >> 8)) sym |= 2;
+    e.encodeSymbol(m_used, sym);
+    if (sym & 1)
+      e.encodeSymbol(m_diff[0], u8_fold((I32)(nir & 255) - (I32)(last & 255)));
+    if (sym & 2)
+      e.encodeSymbol(m_diff[1], u8_fold((I32)(nir >> 8) - (I32)(last >> 8)));
+    last = nir;
+  }
+};
+
+// SoA columns for LAS 1.4 records (formats 6-8 + extra bytes)
+struct Columns14 {
+  I32* x;
+  I32* y;
+  I32* z;
+  U16* intensity;
+  U8* returns_byte;  // ret | nret<<4 (record byte 14)
+  U8* flags_byte;    // class_flags | channel<<4 | dir<<6 | edge<<7 (byte 15)
+  U8* classification;
+  U8* user_data;
+  I16* scan_angle;
+  U16* point_source;
+  double* gps_time;
+  U16* rgb;   // may be null
+  U16* nir;   // may be null
+  U8* extra;  // may be null
+};
+
+static void load_point14(const Columns14& c, I64 i, Point14& p, U16* rgb,
+                         U16& nir, const U8** extra, U32 extra_size) {
+  p.x = c.x[i];
+  p.y = c.y[i];
+  p.z = c.z[i];
+  p.intensity = c.intensity ? c.intensity[i] : 0;
+  U8 rb = c.returns_byte ? c.returns_byte[i] : 0;
+  p.ret = rb & 15;
+  p.nret = rb >> 4;
+  U8 fb = c.flags_byte ? c.flags_byte[i] : 0;
+  p.class_flags = fb & 15;
+  p.channel = (fb >> 4) & 3;
+  p.dir = (fb >> 6) & 1;
+  p.edge = (fb >> 7) & 1;
+  p.classification = c.classification ? c.classification[i] : 0;
+  p.user_data = c.user_data ? c.user_data[i] : 0;
+  p.scan_angle = c.scan_angle ? c.scan_angle[i] : 0;
+  p.point_source = c.point_source ? c.point_source[i] : 0;
+  if (c.gps_time) {
+    double t = c.gps_time[i];
+    std::memcpy(&p.gps, &t, 8);
+  } else p.gps = 0;
+  if (c.rgb) {
+    rgb[0] = c.rgb[i * 3];
+    rgb[1] = c.rgb[i * 3 + 1];
+    rgb[2] = c.rgb[i * 3 + 2];
+  }
+  nir = c.nir ? c.nir[i] : 0;
+  if (c.extra && extra) *extra = c.extra + i * extra_size;
+}
+
+static void store_point14(const Columns14& c, I64 i, const Point14& p,
+                          const U16* rgb, U16 nir, const U8* extra,
+                          U32 extra_size) {
+  c.x[i] = p.x;
+  c.y[i] = p.y;
+  c.z[i] = p.z;
+  if (c.intensity) c.intensity[i] = p.intensity;
+  if (c.returns_byte) c.returns_byte[i] = (U8)((p.ret & 15) | (p.nret << 4));
+  if (c.flags_byte)
+    c.flags_byte[i] =
+        (U8)((p.class_flags & 15) | (p.channel << 4) | (p.dir << 6) | (p.edge << 7));
+  if (c.classification) c.classification[i] = p.classification;
+  if (c.user_data) c.user_data[i] = p.user_data;
+  if (c.scan_angle) c.scan_angle[i] = p.scan_angle;
+  if (c.point_source) c.point_source[i] = p.point_source;
+  if (c.gps_time) {
+    double t;
+    std::memcpy(&t, &p.gps, 8);
+    c.gps_time[i] = t;
+  }
+  if (c.rgb && rgb) {
+    c.rgb[i * 3] = rgb[0];
+    c.rgb[i * 3 + 1] = rgb[1];
+    c.rgb[i * 3 + 2] = rgb[2];
+  }
+  if (c.nir) c.nir[i] = nir;
+  if (c.extra && extra) std::memcpy(c.extra + i * extra_size, extra, extra_size);
+}
+
+static size_t raw_point14_size(bool has_rgb, bool has_nir, U32 extra_size) {
+  return 30 + (has_rgb ? 6 : 0) + (has_nir ? 2 : 0) + extra_size;
+}
+
+// decode one v3 layered chunk into columns[out_base..]
+static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
+                          const Columns14& c, I64 out_base, bool has_rgb,
+                          bool has_nir, U32 extra_size) {
+  if (count <= 0) return 0;
+  size_t raw = raw_point14_size(has_rgb, has_nir, extra_size);
+  if (nbytes < raw) return -1;
+
+  Point14 pt{};
+  U16 rgb[3] = {0, 0, 0};
+  U16 nir = 0;
+  std::vector<U8> extra(extra_size ? extra_size : 1, 0);
+  read_raw_point14(buf, pt);
+  size_t off = 30;
+  if (has_rgb) {
+    std::memcpy(rgb, buf + off, 6);
+    off += 6;
+  }
+  if (has_nir) {
+    std::memcpy(&nir, buf + off, 2);
+    off += 2;
+  }
+  if (extra_size) std::memcpy(extra.data(), buf + off, extra_size);
+  store_point14(c, out_base, pt, rgb, nir, extra.data(), extra_size);
+  if (count == 1) return 0;
+
+  U32 n_layers = L14_COUNT + (has_rgb ? 1 : 0) + (has_nir ? 1 : 0) + extra_size;
+  if (nbytes < raw + 4ull * n_layers) return -1;
+  std::vector<U32> sizes(n_layers);
+  std::memcpy(sizes.data(), buf + raw, 4ull * n_layers);
+  U64 total = raw + 4ull * n_layers;
+  std::vector<const U8*> start(n_layers);
+  for (U32 i = 0; i < n_layers; i++) {
+    start[i] = buf + total;
+    total += sizes[i];
+    if (total > nbytes) return -1;
+  }
+
+  Point14v3Reader rd;
+  rd.init(pt, start.data(), sizes.data());
+  Rgb12v2 rgbc;
+  Nir14v3 nirc;
+  Decoder d_rgb, d_nir;
+  std::vector<Decoder> d_extra(extra_size);
+  std::vector<SymbolModel> m_extra(extra_size);
+  std::vector<bool> have_extra(extra_size);
+  U32 li = L14_COUNT;
+  bool have_rgb_layer = false, have_nir_layer = false;
+  if (has_rgb) {
+    have_rgb_layer = sizes[li] > 0;
+    if (have_rgb_layer) d_rgb.init(start[li], sizes[li]);
+    rgbc.init(rgb, false);
+    li++;
+  }
+  if (has_nir) {
+    have_nir_layer = sizes[li] > 0;
+    if (have_nir_layer) d_nir.init(start[li], sizes[li]);
+    nirc.init(nir, false);
+    li++;
+  }
+  std::vector<U8> last_extra(extra.begin(), extra.end());
+  for (U32 b = 0; b < extra_size; b++, li++) {
+    have_extra[b] = sizes[li] > 0;
+    if (have_extra[b]) d_extra[b].init(start[li], sizes[li]);
+    m_extra[b].init(256, false);
+  }
+
+  for (I64 i = 1; i < count; i++) {
+    rd.read(pt);
+    if (has_rgb && have_rgb_layer) rgbc.read(d_rgb, rgb);
+    if (has_nir && have_nir_layer) nirc.read(d_nir, nir);
+    for (U32 b = 0; b < extra_size; b++) {
+      if (have_extra[b]) {
+        U32 v = d_extra[b].decodeSymbol(m_extra[b]);
+        last_extra[b] = u8_fold((I32)v + (I32)last_extra[b]);
+      }
+      extra[b] = last_extra[b];
+    }
+    store_point14(c, out_base + i, pt, rgb, nir, extra.data(), extra_size);
+  }
+  return 0;
+}
+
+// encode `count` points from columns[in_base..] into a v3 layered chunk
+static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
+                           I64 in_base, bool has_rgb, bool has_nir,
+                           U32 extra_size) {
+  Point14 pt{};
+  U16 rgb[3] = {0, 0, 0};
+  U16 nir = 0;
+  const U8* extra = nullptr;
+  std::vector<U8> zero_extra(extra_size ? extra_size : 1, 0);
+  extra = zero_extra.data();
+
+  load_point14(c, in_base, pt, rgb, nir, &extra, extra_size);
+  write_raw_point14(out, pt);
+  if (has_rgb) {
+    size_t base = out.size();
+    out.resize(base + 6);
+    std::memcpy(out.data() + base, rgb, 6);
+  }
+  if (has_nir) {
+    size_t base = out.size();
+    out.resize(base + 2);
+    std::memcpy(out.data() + base, &nir, 2);
+  }
+  if (extra_size) out.insert(out.end(), extra, extra + extra_size);
+  if (count == 1) return;
+
+  Point14v3Writer wr;
+  wr.init(pt);
+  Rgb12v2 rgbc;
+  Nir14v3 nirc;
+  Encoder e_rgb, e_nir;
+  std::vector<Encoder> e_extra(extra_size);
+  std::vector<SymbolModel> m_extra(extra_size);
+  std::vector<U8> last_extra(extra, extra + (extra_size ? extra_size : 0));
+  if (has_rgb) {
+    rgbc.init(rgb, true);
+    e_rgb.init();
+  }
+  if (has_nir) {
+    nirc.init(nir, true);
+    e_nir.init();
+  }
+  for (U32 b = 0; b < extra_size; b++) {
+    e_extra[b].init();
+    m_extra[b].init(256, true);
+  }
+
+  for (I64 i = 1; i < count; i++) {
+    load_point14(c, in_base + i, pt, rgb, nir, &extra, extra_size);
+    wr.write(pt);
+    if (has_rgb) rgbc.write(e_rgb, rgb);
+    if (has_nir) nirc.write(e_nir, nir);
+    for (U32 b = 0; b < extra_size; b++) {
+      e_extra[b].encodeSymbol(m_extra[b], u8_fold((I32)extra[b] - (I32)last_extra[b]));
+      last_extra[b] = extra[b];
+    }
+  }
+
+  // finalize layers, emit [u32 sizes][streams]; gated layers never used
+  // emit 0 bytes (the reader keeps last values)
+  U32 n_layers = L14_COUNT + (has_rgb ? 1 : 0) + (has_nir ? 1 : 0) + extra_size;
+  std::vector<std::vector<U8>*> streams;
+  std::vector<std::vector<U8>> empty_keeper;
+  empty_keeper.reserve(L14_COUNT);  // stable addresses for the pointers below
+  for (int i = 0; i < L14_COUNT; i++) {
+    if (wr.used[i]) {
+      wr.e[i].done();
+      streams.push_back(&wr.e[i].out);
+    } else {
+      empty_keeper.emplace_back();
+      streams.push_back(&empty_keeper.back());
+    }
+  }
+  if (has_rgb) {
+    e_rgb.done();
+    streams.push_back(&e_rgb.out);
+  }
+  if (has_nir) {
+    e_nir.done();
+    streams.push_back(&e_nir.out);
+  }
+  for (U32 b = 0; b < extra_size; b++) {
+    e_extra[b].done();
+    streams.push_back(&e_extra[b].out);
+  }
+  (void)n_layers;
+  size_t base = out.size();
+  out.resize(base + 4ull * streams.size());
+  for (size_t i = 0; i < streams.size(); i++) {
+    U32 sz = (U32)streams[i]->size();
+    std::memcpy(out.data() + base + 4 * i, &sz, 4);
+  }
+  for (auto* s : streams) out.insert(out.end(), s->begin(), s->end());
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1362,11 +2017,11 @@ int64_t aqpc_laz_write_chunk_table(const uint64_t* chunk_byte_sizes,
 int64_t aqpc_laz_decode_chunks(
     const uint8_t* file, size_t file_size, const uint64_t* chunk_offsets,
     const uint64_t* chunk_sizes_bytes, const int64_t* chunk_point_counts,
-    int64_t n_chunks, int32_t* x, int32_t* y, int32_t* z, uint16_t* intensity,
-    uint8_t* bit_byte, uint8_t* classification, int8_t* scan_angle,
-    uint8_t* user_data, uint16_t* point_source, double* gps_time, uint16_t* rgb,
-    uint8_t* extra, int64_t extra_size, int32_t has_gps, int32_t has_rgb,
-    int64_t points_per_chunk, int64_t n_threads) {
+    const int64_t* out_offsets, int64_t n_chunks, int32_t* x, int32_t* y,
+    int32_t* z, uint16_t* intensity, uint8_t* bit_byte,
+    uint8_t* classification, int8_t* scan_angle, uint8_t* user_data,
+    uint16_t* point_source, double* gps_time, uint16_t* rgb, uint8_t* extra,
+    int64_t extra_size, int32_t has_gps, int32_t has_rgb, int64_t n_threads) {
   Columns cols{x, y, z, intensity, bit_byte, classification, scan_angle,
                user_data, point_source, has_gps ? gps_time : nullptr,
                has_rgb ? rgb : nullptr, extra_size ? extra : nullptr};
@@ -1379,7 +2034,7 @@ int64_t aqpc_laz_decode_chunks(
       return;
     }
     int r = decode_chunk(file + off, sz, chunk_point_counts[i], cols,
-                         i * points_per_chunk, has_gps != 0, has_rgb != 0,
+                         out_offsets[i], has_gps != 0, has_rgb != 0,
                          (U32)extra_size);
     if (r != 0) fail[i] = 1;
   };
@@ -1425,6 +2080,153 @@ int64_t aqpc_laz_encode_chunks(
     I64 count = std::min<I64>(chunk_size, n_points - start);
     encode_chunk(bufs[i], count, cols, start, has_gps != 0, has_rgb != 0,
                  (U32)extra_size);
+  };
+  if (n_threads <= 1 || n_chunks <= 1) {
+    for (int64_t i = 0; i < n_chunks; i++) work(i);
+  } else {
+    int64_t nt = n_threads < n_chunks ? n_threads : n_chunks;
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; t++)
+      threads.emplace_back([&, t]() {
+        for (int64_t i = t; i < n_chunks; i += nt) work(i);
+      });
+    for (auto& th : threads) th.join();
+  }
+  size_t total = 0;
+  for (int64_t i = 0; i < n_chunks; i++) {
+    chunk_sizes_bytes[i] = bufs[i].size();
+    total += bufs[i].size();
+  }
+  if (total > out_cap) return -1;
+  size_t pos = 0;
+  for (int64_t i = 0; i < n_chunks; i++) {
+    std::memcpy(out + pos, bufs[i].data(), bufs[i].size());
+    pos += bufs[i].size();
+  }
+  return (int64_t)total;
+}
+
+
+// -- variable-size chunk tables (chunk_size == u32::MAX in the VLR): the
+// table holds (point count, byte size) per chunk, both delta-coded with the
+// same IntegerCompressor (context 0 = counts, 1 = sizes).
+int64_t aqpc_laz_read_chunk_table_var(const uint8_t* table, size_t nbytes,
+                                      int64_t* chunk_point_counts,
+                                      uint64_t* chunk_byte_sizes,
+                                      int64_t max_chunks) {
+  if (nbytes < 8) return -1;
+  U32 version, num;
+  std::memcpy(&version, table, 4);
+  std::memcpy(&num, table + 4, 4);
+  if (version != 0) return -1;
+  if ((int64_t)num > max_chunks) return -1;
+  Decoder d;
+  d.init(table + 8, nbytes - 8);
+  IntegerCompressor ic;
+  ic.init(32, 2, false);
+  U32 prev_count = 0, prev_size = 0;
+  for (U32 i = 0; i < num; i++) {
+    U32 cnt = (U32)ic.decompress(d, (I32)prev_count, 0);
+    U32 sz = (U32)ic.decompress(d, (I32)prev_size, 1);
+    chunk_point_counts[i] = cnt;
+    chunk_byte_sizes[i] = sz;
+    prev_count = cnt;
+    prev_size = sz;
+  }
+  return (int64_t)num;
+}
+
+int64_t aqpc_laz_write_chunk_table_var(const int64_t* chunk_point_counts,
+                                       const uint64_t* chunk_byte_sizes,
+                                       int64_t num_chunks, uint8_t* out,
+                                       size_t out_cap) {
+  Encoder e;
+  e.init();
+  IntegerCompressor ic;
+  ic.init(32, 2, true);
+  U32 prev_count = 0, prev_size = 0;
+  for (int64_t i = 0; i < num_chunks; i++) {
+    ic.compress(e, (I32)prev_count, (I32)(U32)chunk_point_counts[i], 0);
+    ic.compress(e, (I32)prev_size, (I32)(U32)chunk_byte_sizes[i], 1);
+    prev_count = (U32)chunk_point_counts[i];
+    prev_size = (U32)chunk_byte_sizes[i];
+  }
+  e.done();
+  size_t total = 8 + e.out.size();
+  if (total > out_cap) return -1;
+  U32 version = 0, num = (U32)num_chunks;
+  std::memcpy(out, &version, 4);
+  std::memcpy(out + 4, &num, 4);
+  std::memcpy(out + 8, e.out.data(), e.out.size());
+  return (int64_t)total;
+}
+
+// -- LAS 1.4 / LASzip v3 layered chunks (point formats 6-8 + extra bytes) --
+
+int64_t aqpc_laz14_decode_chunks(
+    const uint8_t* file, size_t file_size, const uint64_t* chunk_offsets,
+    const uint64_t* chunk_sizes_bytes, const int64_t* chunk_point_counts,
+    const int64_t* out_offsets, int64_t n_chunks, int32_t* x, int32_t* y,
+    int32_t* z, uint16_t* intensity, uint8_t* returns_byte,
+    uint8_t* flags_byte, uint8_t* classification, uint8_t* user_data,
+    int16_t* scan_angle, uint16_t* point_source, double* gps_time,
+    uint16_t* rgb, uint16_t* nir, uint8_t* extra, int64_t extra_size,
+    int32_t has_rgb, int32_t has_nir, int64_t n_threads) {
+  Columns14 cols{x, y, z, intensity, returns_byte, flags_byte, classification,
+                 user_data, (I16*)scan_angle, point_source, gps_time,
+                 has_rgb ? rgb : nullptr, has_nir ? nir : nullptr,
+                 extra_size ? extra : nullptr};
+  std::vector<int64_t> fail(n_chunks, 0);
+  auto work = [&](int64_t i) {
+    U64 off = chunk_offsets[i];
+    U64 sz = chunk_sizes_bytes[i];
+    if (off + sz > file_size) {
+      fail[i] = 1;
+      return;
+    }
+    int r = decode_chunk14(file + off, sz, chunk_point_counts[i], cols,
+                           out_offsets[i], has_rgb != 0, has_nir != 0,
+                           (U32)extra_size);
+    if (r != 0) fail[i] = 1;
+  };
+  if (n_threads <= 1 || n_chunks <= 1) {
+    for (int64_t i = 0; i < n_chunks; i++) work(i);
+  } else {
+    int64_t nt = n_threads < n_chunks ? n_threads : n_chunks;
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; t++)
+      threads.emplace_back([&, t]() {
+        for (int64_t i = t; i < n_chunks; i += nt) work(i);
+      });
+    for (auto& th : threads) th.join();
+  }
+  for (int64_t i = 0; i < n_chunks; i++)
+    if (fail[i]) return i + 1;
+  return 0;
+}
+
+int64_t aqpc_laz14_encode_chunks(
+    const int32_t* x, const int32_t* y, const int32_t* z,
+    const uint16_t* intensity, const uint8_t* returns_byte,
+    const uint8_t* flags_byte, const uint8_t* classification,
+    const uint8_t* user_data, const int16_t* scan_angle,
+    const uint16_t* point_source, const double* gps_time, const uint16_t* rgb,
+    const uint16_t* nir, const uint8_t* extra, int64_t extra_size,
+    int32_t has_rgb, int32_t has_nir, int64_t n_points, int64_t chunk_size,
+    uint8_t* out, size_t out_cap, uint64_t* chunk_sizes_bytes,
+    int64_t n_threads) {
+  Columns14 cols{(I32*)x, (I32*)y, (I32*)z, (U16*)intensity, (U8*)returns_byte,
+                 (U8*)flags_byte, (U8*)classification, (U8*)user_data,
+                 (I16*)scan_angle, (U16*)point_source, (double*)gps_time,
+                 has_rgb ? (U16*)rgb : nullptr, has_nir ? (U16*)nir : nullptr,
+                 extra_size ? (U8*)extra : nullptr};
+  int64_t n_chunks = (n_points + chunk_size - 1) / chunk_size;
+  std::vector<std::vector<U8>> bufs(n_chunks);
+  auto work = [&](int64_t i) {
+    I64 start = i * chunk_size;
+    I64 count = std::min<I64>(chunk_size, n_points - start);
+    encode_chunk14(bufs[i], count, cols, start, has_rgb != 0, has_nir != 0,
+                   (U32)extra_size);
   };
   if (n_threads <= 1 || n_chunks <= 1) {
     for (int64_t i = 0; i < n_chunks; i++) work(i);

@@ -380,7 +380,7 @@ class TestExtendedFormats:
     """Engine end-to-end on extended point formats (6-10) and format 1."""
 
     @pytest.mark.parametrize("fmt,exts", [(1, ("las", "last", "lazer", "laz")),
-                                          (7, ("las", "last", "lazer"))])
+                                          (7, ("las", "last", "lazer", "laz"))])
     def test_bbox_and_class_parity(self, tmp_path, fmt, exts):
         files = synth.write_dataset(
             tmp_path, n_files=2, points_per_file=15_000, seed=50 + fmt,
