@@ -247,9 +247,10 @@ def cmd_index(args: argparse.Namespace) -> int:
 
     for f in discover_files(args.input):
         r = open_point_cloud(f)
-        blocks, bitmap = build_index(r)
-        p = save_index(f, blocks, bitmap, n_points=r.point_count)
-        print(f"Indexed {f} -> {p} ({len(blocks)} blocks)")
+        blocks, bitmap, gps_mm = build_index(r)
+        p = save_index(f, blocks, bitmap, gps_mm, n_points=r.point_count)
+        gps_note = " + gps" if gps_mm is not None else ""
+        print(f"Indexed {f} -> {p} ({len(blocks)} blocks{gps_note})")
         r.close()
     return 0
 

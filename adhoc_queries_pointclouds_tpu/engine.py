@@ -54,13 +54,36 @@ from .utils.timing import StageTimer
 
 DEFAULT_BLOCK_SIZE = 1 << 21  # 2M points: 24 MiB of xyz per block
 
-# Max device steps in flight. >1 overlaps H2D transfer of the next batch
-# with the current scan — the right setting on a real TPU-VM (PCIe-attached
-# chips). The tunneled axon TPU backend in this environment intermittently
-# wedges its transfer queue for minutes when executions with fresh host
-# inputs are queued behind one another, so the safe default here is fully
-# synchronous stepping; raise AQPC_INFLIGHT on real hardware.
-MAX_INFLIGHT_STEPS = int(os.environ.get("AQPC_INFLIGHT", "1"))
+# Max device steps in flight. >1 overlaps H2D transfer + host decode of the
+# next batch with the current scan (the north star's double-buffering).
+# Resolved lazily: AQPC_INFLIGHT pins it; otherwise a one-shot dispatch
+# -latency probe picks 3 on healthy backends (local PCIe-attached chips,
+# CPU) and 1 on high-latency tunneled/virtualized backends — the tunneled
+# axon TPU intermittently wedges its transfer queue for minutes when
+# executions with fresh host inputs queue behind one another.
+_env_inflight = os.environ.get("AQPC_INFLIGHT")
+MAX_INFLIGHT_STEPS = int(_env_inflight) if _env_inflight else None
+
+
+def _dispatch_healthy() -> bool:
+    import time
+
+    try:
+        f = jax.jit(lambda v: v + 1)
+        int(f(jnp.int32(1)))  # compile + warm
+        t0 = time.perf_counter()
+        int(f(jnp.int32(2)))
+        return (time.perf_counter() - t0) < 0.005
+    except Exception:
+        return False
+
+
+def current_inflight() -> int:
+    """Device steps to keep in flight (probed once; see MAX_INFLIGHT_STEPS)."""
+    global MAX_INFLIGHT_STEPS
+    if MAX_INFLIGHT_STEPS is None:
+        MAX_INFLIGHT_STEPS = 3 if _dispatch_healthy() else 1
+    return MAX_INFLIGHT_STEPS
 
 
 def discover_files(input_path: str | Path) -> list[Path]:
@@ -207,7 +230,7 @@ def run_query(
     # results are preserved — the index only removes work.
     file_indices_meta: dict[int, tuple] = {}
     index_collectors: dict[int, "index_mod.IndexCollector"] = {}
-    if use_index and (is_bounds or plan.classification is not None):
+    if use_index:
         from . import index as index_mod
 
         for i in active:
@@ -283,7 +306,9 @@ def _run_count(
     rows_per_step = d * max(1, blocks_per_step)
     block_index = block_index or {}
 
-    from .index import CONTAINED, DISJOINT, class_present, classify_block
+    from .index import (
+        CONTAINED, DISJOINT, class_present, classify_block, classify_time_block,
+    )
 
     tasks = []
     indexed_total = 0  # points of CONTAINED blocks: counted with zero IO
@@ -297,6 +322,20 @@ def _run_count(
             if idx_info is not None and is_bounds:
                 lo, hi = file_bounds[i]
                 cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+                if cls == DISJOINT:
+                    skipped_blocks += 1
+                    pruned_points += stop - start
+                    continue
+                if cls == CONTAINED:
+                    indexed_total += stop - start
+                    contained_blocks += 1
+                    pruned_points += stop - start
+                    continue
+            elif idx_info is not None and is_time and idx_info[3] is not None:
+                cls = classify_time_block(
+                    idx_info[3], idx_info[0], start, stop,
+                    plan.time_range.start, plan.time_range.end,
+                )
                 if cls == DISJOINT:
                     skipped_blocks += 1
                     pruned_points += stop - start
@@ -393,7 +432,7 @@ def _run_count(
             clss = np.stack([t.columns["cls"] for t in batch] + [cls_pad] * pad)
             targets = np.full(rows_per_step, plan.classification.classification, np.int32)
             pending.append(mesh_mod.sharded_class_count(mesh, clss, targets, nvs))
-        drain(MAX_INFLIGHT_STEPS - 1)
+        drain(current_inflight() - 1)
 
     with timer.stage("scan"):
         for task in feeder:
@@ -463,7 +502,9 @@ def _run_collect_mesh(
     """
     from collections import deque
 
-    from .index import CONTAINED, DISJOINT, class_present, classify_block
+    from .index import (
+        CONTAINED, DISJOINT, class_present, classify_block, classify_time_block,
+    )
 
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
@@ -496,6 +537,20 @@ def _run_collect_mesh(
             if idx_info is not None and is_bounds:
                 lo, hi = file_bounds[i]
                 cls_b = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+                if cls_b == DISJOINT:
+                    timer.counts["index_skipped_blocks"] += 1
+                    timer.counts["index_pruned_points"] += stop - start
+                    continue
+                if cls_b == CONTAINED:
+                    emit_queue[i].append(("all", start, stop))
+                    timer.counts["index_contained_blocks"] += 1
+                    timer.counts["index_pruned_points"] += stop - start
+                    continue
+            elif idx_info is not None and is_time and idx_info[3] is not None:
+                cls_b = classify_time_block(
+                    idx_info[3], idx_info[0], start, stop,
+                    plan.time_range.start, plan.time_range.end,
+                )
                 if cls_b == DISJOINT:
                     timer.counts["index_skipped_blocks"] += 1
                     timer.counts["index_pruned_points"] += stop - start
@@ -633,7 +688,7 @@ def _run_collect_mesh(
             )
         counts_dev, idx_dev = mesh_mod.sharded_collect(mesh, kind, arrays, cap)
         pending.append((batch, counts_dev, idx_dev, cap))
-        drain(MAX_INFLIGHT_STEPS - 1)
+        drain(current_inflight() - 1)
 
     def process(batch, counts_dev, idx_dev, cap_used):
         nonlocal cap
@@ -862,7 +917,7 @@ def _run_density(
                     mesh, kind, arrays, tables_dev, cap
                 )
                 pending.append((batch, counts_dev, idx_dev, cap))
-                drain(MAX_INFLIGHT_STEPS - 1)
+                drain(current_inflight() - 1)
 
             def process(batch, counts_dev, idx_dev, cap_used):
                 nonlocal cap

@@ -19,11 +19,18 @@ data once. Per 65k-point block it stores the coordinate min/max and a
 Exactness is preserved by construction; the index only removes work.
 Sidecars carry the source file's size+mtime and are ignored when stale.
 
+Time-range queries prune the same way when the sidecar carries per-block
+GPS-time min/max (format v3): disjoint -> skip the 8 B/point scan entirely,
+contained -> count without IO.
+
 Format (little-endian):
-  magic "AQPCIDX2" | u32 index_block_size | u64 n_points
-  | u64 src_size | f64 src_mtime
+  magic "AQPCIDX3" | u32 index_block_size | u64 n_points
+  | u64 src_size | f64 src_mtime | u32 flags (bit 0: gps min/max present)
   | n_iblocks x 6 x i32  (min xyz, max xyz)
   | n_iblocks x 32 x u8  (class-presence bitmap, bit c = class c present)
+  | [n_iblocks x 2 x f64 (gps-time min/max), iff flags bit 0]
+
+v2 sidecars ("AQPCIDX2", no flags word / gps section) still load.
 """
 
 from __future__ import annotations
@@ -33,7 +40,8 @@ from pathlib import Path
 
 import numpy as np
 
-MAGIC = b"AQPCIDX2"
+MAGIC = b"AQPCIDX3"
+MAGIC_V2 = b"AQPCIDX2"
 INDEX_BLOCK = 65_536  # points per index block (56 B of index per block)
 
 DISJOINT, PARTIAL, CONTAINED = 0, 1, 2
@@ -43,14 +51,21 @@ def index_path(file: str | Path) -> Path:
     return Path(str(file) + ".aqpc-idx")
 
 
-def build_index(reader, *, index_block: int = INDEX_BLOCK) -> tuple[np.ndarray, np.ndarray]:
-    """((n_iblocks, 6) int32 min/max, (n_iblocks, 32) uint8 class bitmap)."""
+def build_index(
+    reader, *, index_block: int = INDEX_BLOCK
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """((n_iblocks, 6) i32 min/max, (n_iblocks, 32) u8 class bitmap,
+    (n_iblocks, 2) f64 gps min/max or None when the format has no GPS)."""
+    from .formats.las import has_gps_time
+
     n = reader.point_count
     n_blocks = (n + index_block - 1) // index_block
     mm = np.empty((max(n_blocks, 1), 6), np.int32)
     bitmap = np.zeros((max(n_blocks, 1), 32), np.uint8)
+    want_gps = has_gps_time(reader.header.point_format)
+    gps_mm = np.empty((max(n_blocks, 1), 2), np.float64) if want_gps else None
     if n == 0:
-        return mm[:0], bitmap[:0]
+        return mm[:0], bitmap[:0], gps_mm[:0] if want_gps else None
     for b in range(n_blocks):
         start = b * index_block
         stop = min(start + index_block, n)
@@ -60,13 +75,18 @@ def build_index(reader, *, index_block: int = INDEX_BLOCK) -> tuple[np.ndarray, 
         cls = np.asarray(reader.column("classification", start, stop), np.uint8)
         present = np.unique(cls)
         np.bitwise_or.at(bitmap[b], present >> 3, (1 << (present & 7)).astype(np.uint8))
-    return mm[:n_blocks], bitmap[:n_blocks]
+        if want_gps:
+            g = reader.column("gps_time", start, stop)
+            gps_mm[b, 0] = g.min()
+            gps_mm[b, 1] = g.max()
+    return mm[:n_blocks], bitmap[:n_blocks], gps_mm[:n_blocks] if want_gps else None
 
 
 def save_index(
     file: str | Path,
     blocks: np.ndarray,
     class_bitmap: np.ndarray | None = None,
+    gps_minmax: np.ndarray | None = None,
     *,
     index_block: int = INDEX_BLOCK,
     n_points: int | None = None,
@@ -77,46 +97,63 @@ def save_index(
     blocks = np.ascontiguousarray(blocks, np.int32)
     if class_bitmap is None:
         class_bitmap = np.full((len(blocks), 32), 0xFF, np.uint8)  # unknown: all present
+    flags = 1 if gps_minmax is not None else 0
     # write via temp + atomic rename: a crash mid-write must never leave a
     # half-sidecar that silently mis-prunes later queries
     tmp = p.with_suffix(p.suffix + ".tmp")
     with open(tmp, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<IQQd", index_block,
+        f.write(struct.pack("<IQQdI", index_block,
                             n_points if n_points is not None else 0,
-                            st.st_size, st.st_mtime))
+                            st.st_size, st.st_mtime, flags))
         f.write(blocks.tobytes())
         f.write(np.ascontiguousarray(class_bitmap, np.uint8).tobytes())
+        if gps_minmax is not None:
+            f.write(np.ascontiguousarray(gps_minmax, np.float64).tobytes())
     tmp.replace(p)
     return p
 
 
 def load_index(file: str | Path):
-    """(index_block_size, (n,6) i32 minmax, (n,32) u8 bitmap) or None."""
+    """(index_block_size, (n,6) i32 minmax, (n,32) u8 bitmap,
+    (n,2) f64 gps minmax or None) — or None if absent/stale/corrupt."""
     file = Path(file)
     p = index_path(file)
     if not p.exists():
         return None
     try:
         raw = p.read_bytes()
-        if raw[:8] != MAGIC:
+        v2 = raw[:8] == MAGIC_V2
+        if raw[:8] != MAGIC and not v2:
             return None
         index_block, n_points, src_size, src_mtime = struct.unpack_from("<IQQd", raw, 8)
+        flags = 0
+        hdr = 8 + 28
+        if not v2:
+            (flags,) = struct.unpack_from("<I", raw, hdr)
+            hdr += 4
         st = file.stat()
         if st.st_size != src_size or abs(st.st_mtime - src_mtime) > 1e-6:
             return None  # stale
-        body = raw[8 + 28:]
+        body = raw[hdr:]
         n_blocks = (n_points + index_block - 1) // index_block if n_points else 0
+        has_gps = bool(flags & 1)
+        expect = n_blocks * (24 + 32) + (n_blocks * 16 if has_gps else 0)
         # a truncated sidecar must be rejected, not sliced short: a short
         # body would misalign the bitmap region onto min/max bytes and
         # silently mis-prune class queries
-        if n_blocks == 0 or len(body) != n_blocks * (24 + 32):
+        if n_blocks == 0 or len(body) != expect:
             return None
         mm = np.frombuffer(body[: n_blocks * 24], dtype=np.int32).reshape(-1, 6)
         bitmap = np.frombuffer(
             body[n_blocks * 24 : n_blocks * 24 + n_blocks * 32], dtype=np.uint8
         ).reshape(-1, 32)
-        return index_block, mm, bitmap
+        gps_mm = None
+        if has_gps:
+            gps_mm = np.frombuffer(
+                body[n_blocks * 56 : n_blocks * 56 + n_blocks * 16], dtype=np.float64
+            ).reshape(-1, 2)
+        return index_block, mm, bitmap, gps_mm
     except (OSError, ValueError, struct.error):
         return None
 
@@ -125,9 +162,9 @@ def ensure_index(file: str | Path, reader):
     cached = load_index(file)
     if cached is not None:
         return cached
-    mm, bitmap = build_index(reader)
-    save_index(file, mm, bitmap, n_points=reader.point_count)
-    return INDEX_BLOCK, mm, bitmap
+    mm, bitmap, gps_mm = build_index(reader)
+    save_index(file, mm, bitmap, gps_mm, n_points=reader.point_count)
+    return INDEX_BLOCK, mm, bitmap, gps_mm
 
 
 class IndexCollector:
@@ -206,6 +243,26 @@ def classify_block(
     hi = hi.astype(np.int64)
     disjoint = np.any((bmax < lo) | (bmin > hi), axis=1)
     contained = np.all((bmin >= lo) & (bmax <= hi), axis=1)
+    if bool(disjoint.all()):
+        return DISJOINT
+    if bool(contained.all()):
+        return CONTAINED
+    return PARTIAL
+
+
+def classify_time_block(
+    gps_mm: np.ndarray, index_block: int, start: int, stop: int,
+    t0: float, t1: float,
+) -> int:
+    """Classify engine block [start, stop) against the half-open GPS range
+    [t0, t1) using per-index-block f64 time min/max."""
+    first = start // index_block
+    last = (stop - 1) // index_block
+    sub = gps_mm[first : last + 1]
+    if len(sub) == 0:
+        return PARTIAL
+    disjoint = (sub[:, 1] < t0) | (sub[:, 0] >= t1)
+    contained = (sub[:, 0] >= t0) & (sub[:, 1] < t1)
     if bool(disjoint.all()):
         return DISJOINT
     if bool(contained.all()):
