@@ -66,6 +66,30 @@ def has_waveform(fmt: int) -> bool:
     return fmt in (4, 5, 9, 10)
 
 
+# byte offset of the 29-byte wave packet inside the record
+WAVE_OFFSET = {4: 28, 5: 34, 9: 30, 10: 38}
+WAVE_BYTES = 29
+
+# the wave packet's internal layout (LAS 1.3/1.4 spec)
+WAVEFORM_DTYPE = np.dtype(
+    {
+        "names": ["wave_descriptor", "wave_offset", "wave_size",
+                  "wave_return_point", "wave_xt", "wave_yt", "wave_zt"],
+        "formats": ["u1", "<u8", "<u4", "<f4", "<f4", "<f4", "<f4"],
+        "offsets": [0, 1, 9, 13, 17, 21, 25],
+        "itemsize": WAVE_BYTES,
+    }
+)
+
+
+def parse_waveform(raw: np.ndarray) -> np.ndarray:
+    """(n, 29) u8 wave-packet bytes -> structured array of the packet
+    fields (descriptor index, external byte offset/size, return-point
+    location, parametric dx/dy/dt)."""
+    raw = np.ascontiguousarray(np.asarray(raw, np.uint8)).reshape(-1, WAVE_BYTES)
+    return np.frombuffer(raw.tobytes(), dtype=WAVEFORM_DTYPE)
+
+
 @dataclasses.dataclass
 class LasHeader:
     """Parsed LAS public header block (the fields this engine uses)."""
@@ -215,6 +239,9 @@ def record_dtype(fmt: int, record_length: int) -> np.dtype:
     if has_nir(fmt):
         fields.append(("nir", "<u2"))
         offsets.append(36)
+    if has_waveform(fmt):
+        fields.append(("waveform", "(29,)u1"))
+        offsets.append(WAVE_OFFSET[fmt])
     return np.dtype(
         {
             "names": [f[0] for f in fields],

@@ -28,8 +28,11 @@ from . import las as las_mod
 from .las import (
     COLOR_OFFSET,
     GPS_TIME_OFFSET,
+    WAVE_BYTES,
+    WAVE_OFFSET,
     LasHeader,
     has_nir,
+    has_waveform,
     is_extended_format,
     parse_las_header,
     write_las_header,
@@ -68,6 +71,10 @@ def field_layout(fmt: int) -> list[tuple[str, np.dtype, int, int]]:
         fields.append(("color", "<u2", COLOR_OFFSET[fmt], 3))
     if has_nir(fmt):
         fields.append(("nir", "<u2", 36, 1))
+    if has_waveform(fmt):
+        # the 29-byte wave packet is one record field -> one contiguous
+        # point-major block of n x 29 bytes (parse with las.parse_waveform)
+        fields.append(("waveform", "u1", WAVE_OFFSET[fmt], WAVE_BYTES))
     return [(n, np.dtype(d), off, c) for n, d, off, c in fields]
 
 

@@ -334,11 +334,7 @@ def las_to_lazer(
 
     src = LasFile(las_path)
     names = [name for name, _, comps in attribute_layout(src.header.point_format) if comps]
-    cols = {}
-    for name in names:
-        if name == "waveform":
-            continue  # not materialized by the LAS column reader yet
-        cols[name] = src.column(name)
+    cols = {name: src.column(name) for name in names}
     write_lazer(
         lazer_path, src.header, cols, block_size=block_size, compress_workers=compress_workers
     )

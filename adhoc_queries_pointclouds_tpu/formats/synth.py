@@ -27,6 +27,7 @@ class SynthCloud:
     classification: np.ndarray  # (N,) uint8
     color: np.ndarray  # (N, 3) uint16 (zeros if format has no color)
     gps_time: np.ndarray | None = None
+    waveform: np.ndarray | None = None  # (N, 29) uint8 wave packets
 
     @property
     def positions_world(self) -> np.ndarray:
@@ -44,6 +45,8 @@ class SynthCloud:
             cols["color"] = self.color
         if self.gps_time is not None:
             cols["gps_time"] = self.gps_time
+        if self.waveform is not None:
+            cols["waveform"] = self.waveform
         return cols
 
 
@@ -80,11 +83,15 @@ def make_cloud(
         max=tuple(world.max(axis=0)) if n else offset,
     )
     gps = None
-    from .las import has_gps_time
+    from .las import has_gps_time, has_waveform
 
     if has_gps_time(point_format):
         gps = rng.uniform(0.0, 1e6, size=n)
-    return SynthCloud(header, raw, intensity, classification, color, gps_time=gps)
+    wave = None
+    if has_waveform(point_format):
+        wave = rng.integers(0, 256, size=(n, 29), dtype=np.int64).astype(np.uint8)
+    return SynthCloud(header, raw, intensity, classification, color,
+                      gps_time=gps, waveform=wave)
 
 
 def write_cloud_las(cloud: SynthCloud, path: str | Path) -> None:
@@ -101,6 +108,8 @@ def write_cloud_las(cloud: SynthCloud, path: str | Path) -> None:
         recs["blue"] = cloud.color[:, 2]
     if cloud.gps_time is not None:
         recs["gps_time"] = cloud.gps_time
+    if cloud.waveform is not None:
+        recs["waveform"] = cloud.waveform
     with open(path, "wb") as f:
         hdr = write_las_header(h)
         pad = h.offset_to_point_data - len(hdr)

@@ -284,3 +284,57 @@ def test_lz4_block_overlapping_match():
     block = bytes([0x1F, ord("A"), 0x01, 0x00, 0x00])
     out = lz4py.block_decompress(block)
     assert out == b"A" * 20
+
+
+class TestWaveform:
+    """Formats 4/5/9/10 wave packets are readable columns in every
+    waveform-capable container and survive conversion bit-exactly (the
+    reference ignores them; here they are a declared, queryable field)."""
+
+    @pytest.mark.parametrize("fmt", [4, 5, 9, 10])
+    def test_waveform_roundtrip_las_last_lazer(self, tmp_path, fmt):
+        from adhoc_queries_pointclouds_tpu.formats import (
+            las_to_last, las_to_lazer, open_point_cloud,
+        )
+        from adhoc_queries_pointclouds_tpu.formats.las import parse_waveform
+
+        cloud = synth.make_cloud(5_000, seed=80 + fmt, point_format=fmt)
+        assert cloud.waveform is not None
+        synth.write_cloud_las(cloud, tmp_path / "w.las")
+        las_to_last(tmp_path / "w.las", tmp_path / "w.last")
+        las_to_lazer(tmp_path / "w.las", tmp_path / "w.lazer")
+        for ext in ("las", "last", "lazer"):
+            r = open_point_cloud(tmp_path / f"w.{ext}")
+            got = np.asarray(r.column("waveform"), np.uint8).reshape(-1, 29)
+            np.testing.assert_array_equal(got, cloud.waveform, err_msg=ext)
+            # positions/classes still exact alongside
+            np.testing.assert_array_equal(r.column("position"), cloud.position_raw)
+            r.close()
+        # parsed packet fields decode from the raw bytes
+        w = parse_waveform(cloud.waveform)
+        assert w.shape == (5_000,)
+        np.testing.assert_array_equal(
+            w["wave_descriptor"], cloud.waveform[:, 0]
+        )
+
+    def test_waveform_engine_parity(self, tmp_path):
+        """bbox counts on a waveform format match the oracle end to end."""
+        from adhoc_queries_pointclouds_tpu.engine import run_query
+        from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, QueryPlan
+        from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+        files = synth.write_dataset(tmp_path, n_files=2, points_per_file=8_000,
+                                    seed=85, formats=("las", "last", "lazer"),
+                                    point_format=5)
+        box = AABB((100200.0, 200300.0, 10.0), (100900.0, 200900.0, 70.0))
+        oracle = 0
+        for p in files["las"]:
+            from adhoc_queries_pointclouds_tpu.formats import open_point_cloud
+
+            r = open_point_cloud(p)
+            oracle += int(np.sum(box.contains_points(r.positions_world())))
+            r.close()
+        for ext in ("las", "last", "lazer"):
+            res = run_query(tmp_path / ext, QueryPlan(bounds=BoundsQuery(box)),
+                            block_size=4096)
+            assert res.match_count == oracle > 0, ext
