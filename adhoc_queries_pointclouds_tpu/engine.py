@@ -86,6 +86,18 @@ def current_inflight() -> int:
     return MAX_INFLIGHT_STEPS
 
 
+
+def _stack_rows(batch, key: str, rows: int, block_size: int, dtype) -> np.ndarray:
+    """Assemble one step operand: each task's unpadded column copied once
+    into its row (pad + stack fused; padding content is never read — every
+    kernel masks by per-block n_valid)."""
+    out = np.empty((rows, block_size), dtype)
+    for j, t in enumerate(batch):
+        col = t.columns[key]
+        out[j, : len(col)] = col
+    return out
+
+
 def discover_files(input_path: str | Path) -> list[Path]:
     """File or flat directory listing with extension filter (main.rs:29-57)."""
     p = Path(input_path)
@@ -397,7 +409,7 @@ def _run_count(
 
     feeder = BlockFeeder(
         tasks, load, block_size,
-        file_bounds=file_bounds, workers=workers, prefetch=prefetch,
+        file_bounds=file_bounds, workers=workers, prefetch=prefetch, pad=False,
     )
 
     pending: list = []
@@ -413,23 +425,21 @@ def _run_count(
         pad = rows_per_step - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
         if is_bounds:
-            xs = np.stack([t.columns["x"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
-            ys = np.stack([t.columns["y"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
-            zs = np.stack([t.columns["z"] for t in batch] + [np.zeros(block_size, np.int32)] * pad)
+            xs = _stack_rows(batch, "x", rows_per_step, block_size, np.int32)
+            ys = _stack_rows(batch, "y", rows_per_step, block_size, np.int32)
+            zs = _stack_rows(batch, "z", rows_per_step, block_size, np.int32)
             los = np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad)
             his = np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad)
             pending.append(
                 mesh_mod.sharded_bbox_count(mesh, xs, ys, zs, los, his, nvs, impl=impl)
             )
         elif is_time:
-            t_pad = np.zeros(block_size, np.int32)
-            ths = np.stack([t.columns["th"] for t in batch] + [t_pad] * pad)
-            tls = np.stack([t.columns["tl"] for t in batch] + [t_pad] * pad)
+            ths = _stack_rows(batch, "th", rows_per_step, block_size, np.int32)
+            tls = _stack_rows(batch, "tl", rows_per_step, block_size, np.int32)
             qs = np.tile(q_enc, (rows_per_step, 1))
             pending.append(mesh_mod.sharded_time_count(mesh, ths, tls, qs, nvs))
         else:
-            cls_pad = np.zeros(block_size, np.uint8)
-            clss = np.stack([t.columns["cls"] for t in batch] + [cls_pad] * pad)
+            clss = _stack_rows(batch, "cls", rows_per_step, block_size, np.uint8)
             targets = np.full(rows_per_step, plan.classification.classification, np.int32)
             pending.append(mesh_mod.sharded_class_count(mesh, clss, targets, nvs))
         drain(current_inflight() - 1)
@@ -597,7 +607,7 @@ def _run_collect_mesh(
 
     feeder = BlockFeeder(
         tasks, load, block_size,
-        file_bounds=file_bounds, workers=workers, prefetch=prefetch,
+        file_bounds=file_bounds, workers=workers, prefetch=prefetch, pad=False,
     )
 
     # Hit-index buffer cap per block. counts come back exact regardless, so
@@ -635,22 +645,27 @@ def _run_collect_mesh(
             emitter.emit_indices(i, local_idx.astype(np.int64) + task.start)
 
     def retry_block(task, count):
+        from .parallel.pipeline import pad_to
+
+        # pad to the engine block so retries reuse one compiled shape per cap
         cap2 = compact.pow2_bucket(count, block_size)
         nv = jnp.asarray(task.n_valid, jnp.int32)
         if kind == "bbox":
             idx2 = compact.bbox_compact(
-                jnp.asarray(task.columns["x"]), jnp.asarray(task.columns["y"]),
-                jnp.asarray(task.columns["z"]),
+                jnp.asarray(pad_to(task.columns["x"], block_size)),
+                jnp.asarray(pad_to(task.columns["y"], block_size)),
+                jnp.asarray(pad_to(task.columns["z"], block_size)),
                 jnp.asarray(task.lo), jnp.asarray(task.hi), nv, cap=cap2,
             )
         elif kind == "time":
             idx2 = compact.time_compact(
-                jnp.asarray(task.columns["th"]), jnp.asarray(task.columns["tl"]),
+                jnp.asarray(pad_to(task.columns["th"], block_size)),
+                jnp.asarray(pad_to(task.columns["tl"], block_size)),
                 jnp.asarray(q_enc), nv, cap=cap2,
             )
         else:
             idx2 = compact.class_compact(
-                jnp.asarray(task.columns["cls"]),
+                jnp.asarray(pad_to(task.columns["cls"], block_size)),
                 jnp.asarray(plan.classification.classification, jnp.int32),
                 nv, cap=cap2,
             )
@@ -662,27 +677,24 @@ def _run_collect_mesh(
         pad = rows_per_step - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
         if kind == "bbox":
-            zero = np.zeros(block_size, np.int32)
             arrays = (
-                np.stack([t.columns["x"] for t in batch] + [zero] * pad),
-                np.stack([t.columns["y"] for t in batch] + [zero] * pad),
-                np.stack([t.columns["z"] for t in batch] + [zero] * pad),
+                _stack_rows(batch, "x", rows_per_step, block_size, np.int32),
+                _stack_rows(batch, "y", rows_per_step, block_size, np.int32),
+                _stack_rows(batch, "z", rows_per_step, block_size, np.int32),
                 np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad),
                 np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad),
                 nvs,
             )
         elif kind == "time":
-            zero = np.zeros(block_size, np.int32)
             arrays = (
-                np.stack([t.columns["th"] for t in batch] + [zero] * pad),
-                np.stack([t.columns["tl"] for t in batch] + [zero] * pad),
+                _stack_rows(batch, "th", rows_per_step, block_size, np.int32),
+                _stack_rows(batch, "tl", rows_per_step, block_size, np.int32),
                 np.tile(q_enc, (rows_per_step, 1)),
                 nvs,
             )
         else:
-            zero = np.zeros(block_size, np.uint8)
             arrays = (
-                np.stack([t.columns["cls"] for t in batch] + [zero] * pad),
+                _stack_rows(batch, "cls", rows_per_step, block_size, np.uint8),
                 np.full(rows_per_step, plan.classification.classification, np.int32),
                 nvs,
             )
@@ -828,24 +840,28 @@ def _run_density(
             feeder = BlockFeeder(
                 tasks, load, block_size,
                 file_bounds=file_bounds, workers=workers, prefetch=prefetch,
+                pad=False,
             )
 
             def pred_mask_dev(task):
+                from .parallel.pipeline import pad_to
+
                 nv = jnp.asarray(task.n_valid, jnp.int32)
                 if kind == "bbox":
                     return predicate.bbox_mask(
-                        jnp.asarray(task.columns["x"]), jnp.asarray(task.columns["y"]),
-                        jnp.asarray(task.columns["z"]),
+                        jnp.asarray(pad_to(task.columns["x"], block_size)),
+                        jnp.asarray(pad_to(task.columns["y"], block_size)),
+                        jnp.asarray(pad_to(task.columns["z"], block_size)),
                         jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
                     )
                 if kind == "time":
                     return predicate.time_mask_jnp(
-                        jnp.asarray(task.columns["th"]),
-                        jnp.asarray(task.columns["tl"]),
+                        jnp.asarray(pad_to(task.columns["th"], block_size)),
+                        jnp.asarray(pad_to(task.columns["tl"], block_size)),
                         jnp.asarray(q_enc), nv,
                     )
                 return predicate.class_mask(
-                    jnp.asarray(task.columns["cls"]),
+                    jnp.asarray(pad_to(task.columns["cls"], block_size)),
                     jnp.asarray(plan.classification.classification, jnp.int32), nv,
                 )
 
@@ -871,10 +887,14 @@ def _run_density(
                     global_state = density_ops.merge_winners_host(global_state, winners)
 
             def retry_block(task, count):
+                from .parallel.pipeline import pad_to
+
                 cap2 = compact.pow2_bucket(count, block_size)
                 _, idx2 = density_ops.block_density_candidates(
-                    jnp.asarray(task.columns["x"]), jnp.asarray(task.columns["y"]),
-                    jnp.asarray(task.columns["z"]), pred_mask_dev(task),
+                    jnp.asarray(pad_to(task.columns["x"], block_size)),
+                    jnp.asarray(pad_to(task.columns["y"], block_size)),
+                    jnp.asarray(pad_to(task.columns["z"], block_size)),
+                    pred_mask_dev(task),
                     task.n_valid, tables_dev, cap=cap2,
                 )
                 return np.asarray(idx2[:count])
@@ -884,10 +904,9 @@ def _run_density(
             def flush(batch):
                 pad = rows_per_step - len(batch)
                 nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
-                zero = np.zeros(block_size, np.int32)
-                xs = np.stack([t.columns["x"] for t in batch] + [zero] * pad)
-                ys = np.stack([t.columns["y"] for t in batch] + [zero] * pad)
-                zs = np.stack([t.columns["z"] for t in batch] + [zero] * pad)
+                xs = _stack_rows(batch, "x", rows_per_step, block_size, np.int32)
+                ys = _stack_rows(batch, "y", rows_per_step, block_size, np.int32)
+                zs = _stack_rows(batch, "z", rows_per_step, block_size, np.int32)
                 if kind == "bbox":
                     arrays = (
                         xs, ys, zs,
@@ -898,18 +917,15 @@ def _run_density(
                 elif kind == "time":
                     arrays = (
                         xs, ys, zs,
-                        np.stack([t.columns["th"] for t in batch] + [zero] * pad),
-                        np.stack([t.columns["tl"] for t in batch] + [zero] * pad),
+                        _stack_rows(batch, "th", rows_per_step, block_size, np.int32),
+                        _stack_rows(batch, "tl", rows_per_step, block_size, np.int32),
                         np.tile(q_enc, (rows_per_step, 1)),
                         nvs,
                     )
                 else:
                     arrays = (
                         xs, ys, zs,
-                        np.stack(
-                            [t.columns["cls"] for t in batch]
-                            + [np.zeros(block_size, np.uint8)] * pad
-                        ),
+                        _stack_rows(batch, "cls", rows_per_step, block_size, np.uint8),
                         np.full(rows_per_step, plan.classification.classification, np.int32),
                         nvs,
                     )

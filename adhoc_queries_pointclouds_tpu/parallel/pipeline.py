@@ -59,6 +59,7 @@ class BlockFeeder:
         file_bounds: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
         workers: int = 4,
         prefetch: int = 8,
+        pad: bool = True,
     ):
         self._tasks = list(tasks)
         self._load = load_fn
@@ -66,18 +67,23 @@ class BlockFeeder:
         self._file_bounds = file_bounds or {}
         self._workers = max(1, workers)
         self._prefetch = max(1, prefetch)
+        # pad=False yields raw unpadded columns: callers that assemble D*K
+        # -block step operands copy each column exactly once (into its step
+        # -buffer row) instead of pad-copy + stack-copy
+        self._pad = pad
 
     def _make(self, t: tuple[int, int, int, int]) -> BlockTask:
         file_idx, block_idx, start, stop = t
         cols = self._load(file_idx, start, stop)
-        padded = {k: pad_to(v, self._block_size) for k, v in cols.items()}
+        if self._pad:
+            cols = {k: pad_to(v, self._block_size) for k, v in cols.items()}
         lo, hi = self._file_bounds.get(file_idx, (None, None))
         return BlockTask(
             file_idx=file_idx,
             block_idx=block_idx,
             start=start,
             n_valid=stop - start,
-            columns=padded,
+            columns=cols,
             lo=lo,
             hi=hi,
         )
