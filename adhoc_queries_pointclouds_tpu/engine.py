@@ -98,8 +98,16 @@ def _stack_rows(batch, key: str, rows: int, block_size: int, dtype) -> np.ndarra
     return out
 
 
-def discover_files(input_path: str | Path) -> list[Path]:
-    """File or flat directory listing with extension filter (main.rs:29-57)."""
+def discover_files(input_path) -> list[Path]:
+    """File or flat directory listing with extension filter (main.rs:29-57).
+    Also accepts an explicit sequence of file paths (distributed manifest
+    shards)."""
+    if isinstance(input_path, (list, tuple)):
+        files = [Path(f) for f in input_path]
+        for f in files:
+            if not f.exists():
+                raise FileNotFoundError(f"Input path {f} does not exist!")
+        return [f for f in files if is_valid_file(f)]
     p = Path(input_path)
     if not p.exists():
         raise FileNotFoundError(f"Input path {p} does not exist!")
@@ -153,6 +161,8 @@ def run_query(
     keep_going: bool = False,
     use_index: bool = True,
     print_stream=None,
+    density_grid_bounds: AABB | None = None,
+    density_state_out: dict | None = None,
 ) -> QueryResult:
     """Run one query plan over a file or directory.
 
@@ -228,7 +238,11 @@ def run_query(
         active.append(i)
 
     if plan.density is not None:
-        if is_bounds:
+        if density_grid_bounds is not None:
+            # distributed runs share one grid across hosts (the local files'
+            # total bounds would give each host a different lattice)
+            grid_bounds = density_grid_bounds
+        elif is_bounds:
             grid_bounds = query_bounds
         else:
             grid_bounds = get_total_bounds(readers)
@@ -265,6 +279,7 @@ def run_query(
             workers=workers, prefetch=prefetch,
             timer=timer, keep_hits=keep_hits, block_index=file_indices_meta,
             index_collectors=index_collectors, print_stream=print_stream,
+            density_state_out=density_state_out,
         )
     else:
         result = _run_count(
@@ -466,6 +481,7 @@ def _run_collect(
     plan, files, readers, active, file_bounds, grid, *,
     block_size, impl, n_devices, workers, prefetch, timer, keep_hits,
     block_index=None, index_collectors=None, print_stream=None,
+    density_state_out=None,
 ):
     """Collect-path driver: density goes to the grid-sampling pipeline,
     everything else through the sharded batched compaction path."""
@@ -482,6 +498,7 @@ def _run_collect(
             workers=workers, prefetch=prefetch,
             timer=timer, block_index=block_index,
             index_collectors=index_collectors,
+            state_out=density_state_out,
         )
     else:
         _run_collect_mesh(
@@ -746,7 +763,7 @@ def _run_collect_mesh(
 def _run_density(
     plan, readers, active, file_bounds, grid, emitter, *,
     block_size, n_devices, workers, prefetch, timer,
-    block_index=None, index_collectors=None,
+    block_index=None, index_collectors=None, state_out=None,
 ):
     """Grid-sampling (max-density) collection, f64-exact and mesh-parallel.
 
@@ -966,10 +983,14 @@ def _run_density(
             drain(0)
 
             if scope == "file":
+                if state_out is not None:
+                    state_out.setdefault("file", {})[file_idx] = file_state
                 emitter.emit_hits(file_idx, _winners_to_hits(file_state, r, file_idx))
                 emitter.finalize_file(file_idx)
 
     if scope == "global":
+        if state_out is not None:
+            state_out["global"] = global_state
         combined: list[FileHits] = []
         if global_state is not None and len(global_state):
             for file_idx in np.unique(global_state["file_idx"]):

@@ -357,3 +357,83 @@ def distributed_collect(
     for r in readers:
         r.close()
     return total, emitter
+
+
+def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Union of winner cell keys across processes (u64, order irrelevant).
+
+    Pads to the cross-host max, ships one (d_global, maxn) int64 array, and
+    all-gathers it so every process sees every host's keys — winner payloads
+    never travel, only the 8-byte keys."""
+    if jax.process_count() == 1:
+        return keys
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P2
+
+    d_local = len(jax.local_devices())
+    maxn = max(_allreduce_max(len(keys), mesh), 1)
+    local = np.full((d_local, maxn), -1, np.int64)  # -1 = padding sentinel
+    local[0, : len(keys)] = keys.view(np.int64)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P2("d", None)), local, (mesh.devices.size, maxn)
+    )
+    gathered = jax.jit(
+        shard_map(
+            lambda x: jax.lax.all_gather(x, "d", tiled=True),
+            mesh=mesh, in_specs=P2("d", None), out_specs=P2(), check_vma=False,
+        )
+    )(arr)
+    flat = np.asarray(gathered).reshape(-1)
+    return flat[flat != -1].view(np.uint64)
+
+
+def distributed_density(
+    input_path: str | Path,
+    plan: QueryPlan,
+    *,
+    block_size: int = 1 << 21,
+) -> int:
+    """Max-density sampled count over all hosts' file shards.
+
+    Every host runs the local density pipeline (device candidate pruning +
+    exact f64 host resolution) over its manifest shard against ONE shared
+    grid (global header bounds when the plan has no bbox). scope='file'
+    needs only a count all-reduce; scope='global' unions the winner cell
+    keys across hosts — the count is the number of distinct keys, which is
+    independent of cross-host tie resolution."""
+    from ..engine import discover_files, get_total_bounds, run_query
+    from ..formats import open_point_cloud
+    from ..utils.aabb import AABB
+
+    all_files = discover_files(input_path)
+    my_files = shard_manifest(all_files)
+    mesh = global_mesh()
+
+    # shared grid bounds: the query box, or the union of ALL hosts' headers
+    # (headers are cheap: every host reads every header)
+    if plan.bounds is not None:
+        grid_bounds = None  # run_query derives it from the box
+    else:
+        grid_bounds = AABB.empty()
+        for f in all_files:
+            r = open_point_cloud(f)
+            grid_bounds = grid_bounds.union(r.header.bounds)
+            r.close()
+
+    state_out: dict = {}
+    if my_files:
+        run_query(
+            my_files, plan, block_size=block_size,
+            density_grid_bounds=grid_bounds, density_state_out=state_out,
+        )
+    if plan.density.scope == "file":
+        local = sum(
+            len(s) for s in state_out.get("file", {}).values() if s is not None
+        )
+        return _allreduce_sum(local, mesh)
+    g = state_out.get("global")
+    keys = g["key"] if g is not None and len(g) else np.empty(0, np.uint64)
+    return int(len(np.unique(_allgather_keys(np.asarray(keys), mesh))))

@@ -90,3 +90,21 @@ def test_distributed_collect_overflow_retry(tmp_path, monkeypatch):
         tmp_path / "last", plan, block_size=1 << 14, keep_hits=True
     )
     assert total == expected > 0
+
+
+def test_distributed_density_matches_engine(tmp_path):
+    from adhoc_queries_pointclouds_tpu.models.query import ClassQuery, DensityConfig
+
+    synth.write_dataset(tmp_path, n_files=3, points_per_file=20_000, seed=36,
+                        formats=("last",))
+    for scope in ("global", "file"):
+        plan = QueryPlan(bounds=BoundsQuery(BOX), density=DensityConfig(50.0, scope))
+        expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+        got = distributed.distributed_density(tmp_path / "last", plan,
+                                              block_size=1 << 14)
+        assert got == expected > 0, scope
+    # no-bbox density: the shared grid must come from the GLOBAL header union
+    plan = QueryPlan(classification=ClassQuery(6), density=DensityConfig(150.0))
+    expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+    got = distributed.distributed_density(tmp_path / "last", plan, block_size=1 << 14)
+    assert got == expected > 0
