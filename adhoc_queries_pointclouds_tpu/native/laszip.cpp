@@ -421,14 +421,17 @@ struct IntegerCompressor {
     } else {
       // c in [-(2^k - 1), -2^(k-1)] -> payload c + 2^k - 1 in [0, 2^(k-1)-1]
       U32 u = (U32)(-(I64)c);
-      k = 1;
-      while (u > ((1u << k) - 1)) k++;
-      if (k >= 32) {
-        // extreme corrector (== corr_min for 32-bit)
+      if (u >= 0x80000000u) {
+        // c == corr_min (-2^31, 32-bit wraparound only): must be handled
+        // BEFORE the k search — `1u << k` wraps at k >= 32 and the loop
+        // below would never terminate (the decoder's k==32 branch is the
+        // counterpart)
         last_k = 32;
         e.encodeSymbol(mb, 32);
         return;
       }
+      k = 1;
+      while (u > ((1u << k) - 1)) k++;
       cc = (U32)(c + (I32)((1u << k) - 1));
     }
     last_k = k;

@@ -254,3 +254,124 @@ def test_laz_v3_engine_parity(tmp_path):
     res = run_query(tmp_path / "laz", QueryPlan(classification=ClassQuery(6)),
                     block_size=1 << 14)
     assert res.match_count == oracle_c
+
+
+class TestLazFuzz:
+    """Randomized + adversarial roundtrip battery: the patterns where
+    encoder/decoder asymmetries hide (int32 coordinate extremes with
+    wrapping deltas, constant columns, monotone runs, scanner-channel
+    churn, gps jumps between chunks)."""
+
+    @staticmethod
+    def _check(header, cols, chunk_size):
+        import tempfile, os
+
+        p = tempfile.mktemp(suffix=".laz")
+        try:
+            write_laz(p, header, cols, chunk_size=chunk_size)
+            f = LazFile(p)
+            for name, want in cols.items():
+                if name == "position":
+                    got = f.column("position")
+                    np.testing.assert_array_equal(got, want, err_msg=name)
+                else:
+                    np.testing.assert_array_equal(f.column(name), want, err_msg=name)
+            f.close()
+        finally:
+            if os.path.exists(p):
+                os.unlink(p)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_v2_coordinate_extremes(self, seed):
+        rng = np.random.default_rng(seed)
+        n = 4_000
+        cloud = synth.make_cloud(n, seed=seed, point_format=1)
+        cols = cloud.columns()
+        pos = cols["position"].copy()
+        # inject extremes and wrapping deltas
+        extreme = rng.choice(n, 200, replace=False)
+        pos[extreme] = rng.choice(
+            np.array([-2**31, -2**31 + 1, 2**31 - 1, 2**31 - 2, 0], np.int64), (200, 3)
+        ).astype(np.int32)
+        cols["position"] = pos
+        cols["gps_time"] = np.where(
+            rng.random(n) < 0.05, rng.uniform(-1e12, 1e12, n), cols["gps_time"]
+        )
+        self._check(cloud.header, cols, 1_000)
+
+    @pytest.mark.parametrize("seed", [3, 4])
+    def test_v3_coordinate_extremes_and_channel_churn(self, seed):
+        rng = np.random.default_rng(seed)
+        n = 4_000
+        cloud = synth.make_cloud(n, seed=seed, point_format=6)
+        cols = cloud.columns()
+        pos = cols["position"].copy()
+        extreme = rng.choice(n, 200, replace=False)
+        pos[extreme] = rng.choice(
+            np.array([-2**31, -2**31 + 1, 2**31 - 1, 2**31 - 2], np.int64), (200, 3)
+        ).astype(np.int32)
+        cols["position"] = pos
+        nret = rng.integers(1, 16, n).astype(np.uint16)
+        ret = (rng.integers(0, 15, n) % nret + 1).astype(np.uint16)
+        channel = rng.integers(0, 4, n).astype(np.uint16)  # max churn
+        cols["flags"] = (
+            (ret | (nret << 4)) | ((rng.integers(0, 256, n).astype(np.uint16)) << 8)
+        ).astype(np.uint16)
+        # force channel bits explicitly on top of random flag bytes
+        cols["flags"] = (cols["flags"] & ~np.uint16(0x3000)) | (channel << 12)
+        cols["scan_angle"] = rng.choice(
+            np.array([-32768, -30000, 0, 30000, 32767], np.int64), n
+        ).astype(np.int16)
+        cols["gps_time"] = np.where(
+            rng.random(n) < 0.1, rng.uniform(-1e12, 1e12, n),
+            np.sort(rng.uniform(0, 1e6, n)),
+        )
+        self._check(cloud.header, cols, 700)
+
+    def test_v3_constant_everything(self):
+        """All-identical points: layers must compress to near-nothing and
+        roundtrip (the unused-layer 0-byte path)."""
+        n = 3_000
+        cloud = synth.make_cloud(n, seed=9, point_format=6)
+        cols = cloud.columns()
+        cols["position"] = np.tile(np.array([[123, -456, 789]], np.int32), (n, 1))
+        cols["intensity"] = np.full(n, 777, np.uint16)
+        cols["classification"] = np.full(n, 6, np.uint8)
+        cols["flags"] = np.full(n, (1 | (1 << 4)), np.uint16)
+        cols["scan_angle"] = np.zeros(n, np.int16)
+        cols["user_data"] = np.zeros(n, np.uint8)
+        cols["point_source"] = np.full(n, 42, np.uint16)
+        cols["gps_time"] = np.full(n, 123456.789)
+        self._check(cloud.header, cols, 1_000)
+
+    def test_v2_constant_and_monotone(self):
+        n = 3_000
+        cloud = synth.make_cloud(n, seed=10, point_format=3)
+        cols = cloud.columns()
+        cols["position"] = np.stack(
+            [np.arange(n, dtype=np.int32) * 7,
+             np.full(n, -5, np.int32),
+             np.arange(n, 0, -1, dtype=np.int32)], axis=1,
+        )
+        cols["gps_time"] = np.full(n, -1.5e-300)  # subnormal-adjacent constant
+        self._check(cloud.header, cols, 900)
+
+    def test_corrector_int_min_regression(self):
+        """A delta of exactly -2^31 (corrector == corr_min) used to livelock
+        the encoder's k-bit search (`1u << k` wraps at k >= 32); it must take
+        the k==32 escape and roundtrip exactly."""
+        n = 8
+        cloud = synth.make_cloud(n, seed=11, point_format=1)
+        cols = cloud.columns()
+        pos = np.zeros((n, 3), np.int32)
+        pos[1] = [-2**31, -2**31, -2**31]    # dx == -2^31 from 0
+        pos[2] = [0, 0, 0]                   # dx == +2^31 wraps to -2^31 too
+        pos[3] = [2**31 - 1, -2**31, 2**31 - 1]
+        cols["position"] = pos
+        # gps delta of exactly -2^31 in the i64 bit domain
+        g = np.zeros(n, np.float64)
+        bits = np.zeros(n, np.int64)
+        bits[1] = 2**31
+        bits[2] = 0
+        cols["gps_time"] = bits.view(np.float64)
+        self._check(cloud.header, cols, n)
