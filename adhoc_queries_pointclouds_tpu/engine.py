@@ -272,7 +272,9 @@ def run_query(
                         readers[i].point_count
                     )
 
-    if plan.collects_points:
+    # keep_hits asks for materialized points, so it forces the collect path
+    # even when the plan itself would only count
+    if plan.collects_points or keep_hits:
         result = _run_collect(
             plan, files, readers, active, file_bounds, grid,
             block_size=block_size, impl=impl, n_devices=n_devices,

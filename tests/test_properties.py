@@ -165,3 +165,91 @@ class TestConversionSemantics:
         ).match_count
         assert got_q == ref_count
         assert got_c == correct_count
+
+
+class TestRandomCollectAndDensity:
+    """Randomized collect/density trials vs the oracle: the collect path
+    must return the exact SET of matching indices (not just the count), and
+    density winners must match reference-exact semantics at random cell
+    sizes."""
+
+    def test_random_collect_exact_index_sets(self, ds):
+        root, files, worlds = ds
+        rng = np.random.default_rng(5)
+        total = np.concatenate(worlds)
+        tmin, tmax = total.min(axis=0), total.max(axis=0)
+        span = tmax - tmin
+        for trial in range(8):
+            a = tmin + rng.random(3) * span
+            b = tmin + rng.random(3) * span
+            box = AABB(tuple(np.minimum(a, b)), tuple(np.maximum(a, b)))
+            res = run_query(
+                root / "last",
+                QueryPlan(bounds=BoundsQuery(box)),
+                block_size=BLOCK,
+                keep_hits=True,
+            )
+            oracle_total = sum(
+                int(np.sum(box.contains_points(w))) for w in worlds
+            )
+            # res.hits has one entry per header-surviving file; pair by the
+            # recorded file index
+            for hits in res.hits:
+                w = worlds[hits.file_idx]
+                idx = np.nonzero(box.contains_points(w))[0]
+                np.testing.assert_allclose(
+                    hits.position_world, w[idx], err_msg=f"trial {trial}"
+                )
+            assert res.match_count == oracle_total
+
+    def test_random_density_cells(self, ds):
+        root, files, worlds = ds
+        rng = np.random.default_rng(6)
+        total = np.concatenate(worlds)
+        tmin, tmax = total.min(axis=0), total.max(axis=0)
+        span = float((tmax - tmin).max())
+        from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
+        from adhoc_queries_pointclouds_tpu.ops.density import GridSpec3D
+
+        for trial in range(6):
+            cell = float(span * 10 ** rng.uniform(-2.0, -0.3))
+            a = tmin + rng.random(3) * span * 0.8
+            b = a + rng.random(3) * span * 0.5
+            box = AABB(tuple(a), tuple(b))
+            res = run_query(
+                root / "last",
+                QueryPlan(bounds=BoundsQuery(box), density=DensityConfig(cell)),
+                block_size=BLOCK,
+            )
+            grid = GridSpec3D.create(box, cell)
+            keys = []
+            for w in worlds:
+                m = box.contains_points(w)
+                if m.any():
+                    k, _ = grid.exact_keys_d2(w[m])
+                    keys.append(k)
+            oracle = len(np.unique(np.concatenate(keys))) if keys else 0
+            assert res.match_count == oracle, f"trial {trial} cell={cell}"
+
+    def test_random_time_ranges(self, tmp_path):
+        files = synth.write_dataset(tmp_path, n_files=2, points_per_file=15_000,
+                                    seed=77, formats=("last",), point_format=1)
+        gs = []
+        for p in files["last"]:
+            r = open_point_cloud(p)
+            gs.append(r.column("gps_time").copy())
+            r.close()
+        allg = np.concatenate(gs)
+        rng = np.random.default_rng(7)
+        from adhoc_queries_pointclouds_tpu.models.query import TimeRangeQuery
+
+        for trial in range(8):
+            t0, t1 = np.sort(rng.choice(allg, 2, replace=False))
+            if t0 == t1:
+                continue
+            # exact endpoints: the half-open semantics must hold bit-exactly
+            res = run_query(tmp_path / "last",
+                            QueryPlan(time_range=TimeRangeQuery(float(t0), float(t1))),
+                            block_size=BLOCK)
+            oracle = int(np.count_nonzero((allg >= t0) & (allg < t1)))
+            assert res.match_count == oracle, f"trial {trial}"
