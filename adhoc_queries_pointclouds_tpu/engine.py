@@ -439,25 +439,28 @@ def _run_count(
             total += int(pending.pop(0))
 
     def flush(batch):
-        pad = rows_per_step - len(batch)
+        # size the step to the batch (rounded up to the mesh) so short
+        # datasets / tail flushes don't pay for rows_per_step of padding
+        rows = ((len(batch) + d - 1) // d) * d
+        pad = rows - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
         if is_bounds:
-            xs = _stack_rows(batch, "x", rows_per_step, block_size, np.int32)
-            ys = _stack_rows(batch, "y", rows_per_step, block_size, np.int32)
-            zs = _stack_rows(batch, "z", rows_per_step, block_size, np.int32)
+            xs = _stack_rows(batch, "x", rows, block_size, np.int32)
+            ys = _stack_rows(batch, "y", rows, block_size, np.int32)
+            zs = _stack_rows(batch, "z", rows, block_size, np.int32)
             los = np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad)
             his = np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad)
             pending.append(
                 mesh_mod.sharded_bbox_count(mesh, xs, ys, zs, los, his, nvs, impl=impl)
             )
         elif is_time:
-            ths = _stack_rows(batch, "th", rows_per_step, block_size, np.int32)
-            tls = _stack_rows(batch, "tl", rows_per_step, block_size, np.int32)
-            qs = np.tile(q_enc, (rows_per_step, 1))
+            ths = _stack_rows(batch, "th", rows, block_size, np.int32)
+            tls = _stack_rows(batch, "tl", rows, block_size, np.int32)
+            qs = np.tile(q_enc, (rows, 1))
             pending.append(mesh_mod.sharded_time_count(mesh, ths, tls, qs, nvs))
         else:
-            clss = _stack_rows(batch, "cls", rows_per_step, block_size, np.uint8)
-            targets = np.full(rows_per_step, plan.classification.classification, np.int32)
+            clss = _stack_rows(batch, "cls", rows, block_size, np.uint8)
+            targets = np.full(rows, plan.classification.classification, np.int32)
             pending.append(mesh_mod.sharded_class_count(mesh, clss, targets, nvs))
         drain(current_inflight() - 1)
 
@@ -693,28 +696,29 @@ def _run_collect_mesh(
     pending = deque()
 
     def flush(batch):
-        pad = rows_per_step - len(batch)
+        rows = ((len(batch) + d - 1) // d) * d
+        pad = rows - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
         if kind == "bbox":
             arrays = (
-                _stack_rows(batch, "x", rows_per_step, block_size, np.int32),
-                _stack_rows(batch, "y", rows_per_step, block_size, np.int32),
-                _stack_rows(batch, "z", rows_per_step, block_size, np.int32),
+                _stack_rows(batch, "x", rows, block_size, np.int32),
+                _stack_rows(batch, "y", rows, block_size, np.int32),
+                _stack_rows(batch, "z", rows, block_size, np.int32),
                 np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad),
                 np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad),
                 nvs,
             )
         elif kind == "time":
             arrays = (
-                _stack_rows(batch, "th", rows_per_step, block_size, np.int32),
-                _stack_rows(batch, "tl", rows_per_step, block_size, np.int32),
-                np.tile(q_enc, (rows_per_step, 1)),
+                _stack_rows(batch, "th", rows, block_size, np.int32),
+                _stack_rows(batch, "tl", rows, block_size, np.int32),
+                np.tile(q_enc, (rows, 1)),
                 nvs,
             )
         else:
             arrays = (
-                _stack_rows(batch, "cls", rows_per_step, block_size, np.uint8),
-                np.full(rows_per_step, plan.classification.classification, np.int32),
+                _stack_rows(batch, "cls", rows, block_size, np.uint8),
+                np.full(rows, plan.classification.classification, np.int32),
                 nvs,
             )
         counts_dev, idx_dev = mesh_mod.sharded_collect(mesh, kind, arrays, cap)
@@ -921,11 +925,12 @@ def _run_density(
             pending = deque()
 
             def flush(batch):
-                pad = rows_per_step - len(batch)
+                rows = ((len(batch) + d - 1) // d) * d
+                pad = rows - len(batch)
                 nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
-                xs = _stack_rows(batch, "x", rows_per_step, block_size, np.int32)
-                ys = _stack_rows(batch, "y", rows_per_step, block_size, np.int32)
-                zs = _stack_rows(batch, "z", rows_per_step, block_size, np.int32)
+                xs = _stack_rows(batch, "x", rows, block_size, np.int32)
+                ys = _stack_rows(batch, "y", rows, block_size, np.int32)
+                zs = _stack_rows(batch, "z", rows, block_size, np.int32)
                 if kind == "bbox":
                     arrays = (
                         xs, ys, zs,
@@ -936,16 +941,16 @@ def _run_density(
                 elif kind == "time":
                     arrays = (
                         xs, ys, zs,
-                        _stack_rows(batch, "th", rows_per_step, block_size, np.int32),
-                        _stack_rows(batch, "tl", rows_per_step, block_size, np.int32),
-                        np.tile(q_enc, (rows_per_step, 1)),
+                        _stack_rows(batch, "th", rows, block_size, np.int32),
+                        _stack_rows(batch, "tl", rows, block_size, np.int32),
+                        np.tile(q_enc, (rows, 1)),
                         nvs,
                     )
                 else:
                     arrays = (
                         xs, ys, zs,
-                        _stack_rows(batch, "cls", rows_per_step, block_size, np.uint8),
-                        np.full(rows_per_step, plan.classification.classification, np.int32),
+                        _stack_rows(batch, "cls", rows, block_size, np.uint8),
+                        np.full(rows, plan.classification.classification, np.int32),
                         nvs,
                     )
                 counts_dev, idx_dev = mesh_mod.sharded_density(
