@@ -151,7 +151,28 @@ class GridSpec3D:
         scale: tuple[float, float, float],
         offset: tuple[float, float, float],
     ) -> dict[str, np.ndarray]:
-        """Per-(file, grid) constants for the device candidate kernel.
+        key = (
+            tuple(float(v) for v in self.bounds.min),
+            tuple(float(v) for v in self.bounds.max),
+            self.cell_size, self.dims,
+            tuple(float(v) for v in scale), tuple(float(v) for v in offset),
+        )
+        cached = _TABLE_CACHE.get(key)
+        if cached is None:
+            cached = self._file_tables_impl(scale, offset)
+            if len(_TABLE_CACHE) > 64:
+                _TABLE_CACHE.clear()
+            _TABLE_CACHE[key] = cached
+        return cached
+
+    def _file_tables_impl(
+        self,
+        scale: tuple[float, float, float],
+        offset: tuple[float, float, float],
+    ) -> dict[str, np.ndarray]:
+        """Per-(file, grid) constants for the device candidate kernel
+        (cached: repeated queries on the same grid+file geometry — the
+        serving pattern — skip the O(dims) rebuild).
 
         For each axis: an exact boundary table b[0..dims+1] (int32 local
         units; b[c] is the smallest int32 p with exact f64 cell(p) >= c, so
@@ -322,6 +343,9 @@ def _density_candidates_1(
     count = jnp.sum(cand, dtype=jnp.int32)
     (out,) = jnp.nonzero(cand, size=cap, fill_value=n)
     return count, out.astype(jnp.int32)
+
+
+_TABLE_CACHE: dict = {}
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
