@@ -1,4 +1,4 @@
-"""LAZ (LASzip-compressed LAS) codec: point formats 0-3 (v2) and 6-8 (v3).
+"""LAZ (LASzip-compressed LAS) codec: point formats 0-5 (v2) and 6-10 (v3).
 
 The reference engine gets LAZ decode from laz-rs inside pasture and notes
 that no byte-level query shortcut exists on LAZ — every query fully
@@ -21,8 +21,9 @@ Container layout (open LAZ specification):
 
 Interop: self-roundtrip is exact (tested); third-party LAZ decoding is
 spec-faithful best effort until validated against external files (no
-independent LAZ encoder exists in this environment). Formats 9/10
-(waveform packets) are not supported.
+independent LAZ encoder exists in this environment). Wave packets (formats
+4/5/9/10) use a spec-shaped self-consistent item codec (INTEROP RISK noted
+in native/laszip.cpp).
 """
 
 from __future__ import annotations
@@ -34,7 +35,10 @@ from pathlib import Path
 import numpy as np
 
 from .. import native
-from .las import LasHeader, has_color, has_gps_time, has_nir, parse_las_header, write_las_header
+from .las import (
+    LasHeader, has_color, has_gps_time, has_nir, has_waveform,
+    parse_las_header, write_las_header,
+)
 
 LASZIP_USER_ID = b"laszip encoded\x00\x00"
 LASZIP_RECORD_ID = 22204
@@ -52,7 +56,8 @@ ITEM_RGBNIR14 = 12
 ITEM_WAVEPACKET14 = 13
 ITEM_BYTE14 = 14
 
-_STANDARD_RECORD_LENGTH = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
+_STANDARD_RECORD_LENGTH = {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63,
+                           6: 30, 7: 36, 8: 38, 9: 59, 10: 67}
 
 
 def _default_threads() -> int:
@@ -74,8 +79,7 @@ class LazFile:
         h = self.header
         if h.point_format not in _STANDARD_RECORD_LENGTH:
             raise NotImplementedError(
-                f"LAZ point format {h.point_format} not supported "
-                "(formats 0-3 and 6-8; waveform formats 9/10 are not)"
+                f"LAZ point format {h.point_format} not supported"
             )
         self.is14 = h.point_format >= 6
         self._parse_vlrs()
@@ -125,12 +129,13 @@ class LazFile:
         self.has_gps = False
         self.has_rgb = False
         self.has_nir_ch = False
+        self.has_wave = False
         self.extra_size = 0
         for t, size, version in items:
             if self.is14:
                 if version != 3:
                     raise NotImplementedError(
-                        f"LAZ item type {t} version {version} (need v3 for formats 6-8)"
+                        f"LAZ item type {t} version {version} (need v3 for formats 6-10)"
                     )
                 if t == ITEM_POINT14:
                     self.has_gps = True  # gps_time is part of POINT14
@@ -142,11 +147,11 @@ class LazFile:
                 elif t == ITEM_BYTE14:
                     self.extra_size = size
                 elif t == ITEM_WAVEPACKET14:
-                    raise NotImplementedError("LAZ waveform packets not supported")
+                    self.has_wave = True
                 else:
                     raise NotImplementedError(f"LAZ item type {t} not supported")
             else:
-                if version != 2 and t != ITEM_BYTE:
+                if version != 2 and t not in (ITEM_BYTE, ITEM_WAVEPACKET13):
                     raise NotImplementedError(f"LAZ item type {t} version {version} (need v2)")
                 if t == ITEM_POINT10:
                     pass
@@ -154,6 +159,8 @@ class LazFile:
                     self.has_gps = True
                 elif t == ITEM_RGB12:
                     self.has_rgb = True
+                elif t == ITEM_WAVEPACKET13:
+                    self.has_wave = True
                 elif t == ITEM_BYTE:
                     if version != 2:
                         raise NotImplementedError("LAZ BYTE item version != 2")
@@ -266,6 +273,10 @@ class LazFile:
             }
             rgb = np.zeros((alloc, 3), np.uint16) if self.has_rgb else np.zeros((1, 3), np.uint16)
             nir = np.zeros(alloc, np.uint16) if self.has_nir_ch else np.zeros(1, np.uint16)
+            wave = (
+                np.zeros((alloc, 29), np.uint8) if self.has_wave
+                else np.zeros((1, 29), np.uint8)
+            )
             extra = (
                 np.zeros((alloc, self.extra_size), np.uint8)
                 if self.extra_size
@@ -280,9 +291,10 @@ class LazFile:
                 cols["_flags15"].ctypes.data, cols["classification"].ctypes.data,
                 cols["user_data"].ctypes.data, cols["scan_angle"].ctypes.data,
                 cols["point_source"].ctypes.data, cols["gps_time"].ctypes.data,
-                rgb.ctypes.data, nir.ctypes.data, extra.ctypes.data,
+                rgb.ctypes.data, nir.ctypes.data, wave.ctypes.data,
+                extra.ctypes.data,
                 self.extra_size, int(self.has_rgb), int(self.has_nir_ch),
-                self._threads,
+                int(self.has_wave), self._threads,
             )
             if rc != 0:
                 raise ValueError(f"{self.path}: LAZ chunk {first + rc - 1} failed to decode")
@@ -295,6 +307,8 @@ class LazFile:
                 cols["color"] = rgb
             if self.has_nir_ch:
                 cols["nir"] = nir
+            if self.has_wave:
+                cols["waveform"] = wave
             if self.extra_size:
                 cols["extra"] = extra
         else:
@@ -311,6 +325,10 @@ class LazFile:
             }
             gps = np.zeros(alloc, np.float64) if self.has_gps else np.zeros(1, np.float64)
             rgb = np.zeros((alloc, 3), np.uint16) if self.has_rgb else np.zeros((1, 3), np.uint16)
+            wave = (
+                np.zeros((alloc, 29), np.uint8) if self.has_wave
+                else np.zeros((1, 29), np.uint8)
+            )
             extra = (
                 np.zeros((alloc, self.extra_size), np.uint8)
                 if self.extra_size
@@ -324,9 +342,10 @@ class LazFile:
                 cols["intensity"].ctypes.data, cols["flags"].ctypes.data,
                 cols["classification"].ctypes.data, cols["scan_angle"].ctypes.data,
                 cols["user_data"].ctypes.data, cols["point_source"].ctypes.data,
-                gps.ctypes.data, rgb.ctypes.data, extra.ctypes.data,
+                gps.ctypes.data, rgb.ctypes.data, wave.ctypes.data,
+                extra.ctypes.data,
                 self.extra_size, int(self.has_gps), int(self.has_rgb),
-                self._threads,
+                int(self.has_wave), self._threads,
             )
             if rc != 0:
                 raise ValueError(f"{self.path}: LAZ chunk {first + rc - 1} failed to decode")
@@ -334,6 +353,8 @@ class LazFile:
                 cols["gps_time"] = gps
             if self.has_rgb:
                 cols["color"] = rgb
+            if self.has_wave:
+                cols["waveform"] = wave
             if self.extra_size:
                 cols["extra"] = extra
         return cols
@@ -431,6 +452,8 @@ def _laszip_vlr(point_format: int, chunk_size: int, extra_size: int) -> bytes:
             items.append((ITEM_RGBNIR14, 8, 3))
         elif has_color(point_format):
             items.append((ITEM_RGB14, 6, 3))
+        if has_waveform(point_format):
+            items.append((ITEM_WAVEPACKET14, 29, 3))
         if extra_size:
             items.append((ITEM_BYTE14, extra_size, 3))
     else:
@@ -440,6 +463,8 @@ def _laszip_vlr(point_format: int, chunk_size: int, extra_size: int) -> bytes:
             items.append((ITEM_GPSTIME11, 8, 2))
         if has_color(point_format):
             items.append((ITEM_RGB12, 6, 2))
+        if has_waveform(point_format):
+            items.append((ITEM_WAVEPACKET13, 29, 1))
         if extra_size:
             items.append((ITEM_BYTE, extra_size, 2))
     payload = struct.pack(
@@ -475,9 +500,7 @@ def write_laz(
     if not native.available():
         raise RuntimeError("LAZ support requires the native codec")
     if header.point_format not in _STANDARD_RECORD_LENGTH:
-        raise NotImplementedError(
-            "LAZ write supports point formats 0-3 and 6-8 (not waveform 9/10)"
-        )
+        raise NotImplementedError("LAZ write supports point formats 0-10")
     lib = native.load()
     n = header.point_count
     threads = threads or _default_threads()
@@ -524,6 +547,8 @@ def write_laz(
     # All operand arrays must be NAMED (kept alive) through the native
     # calls: passing a temporary's .ctypes.data hands the C code a pointer
     # to freed memory.
+    hw = has_waveform(header.point_format)
+    wave_all = col("waveform", np.uint8, (n, 29)) if hw else np.zeros((1, 29), np.uint8)
     if is14:
         flags16 = col("flags", np.uint16)
         rb_all = np.ascontiguousarray((flags16 & 0xFF).astype(np.uint8))
@@ -555,8 +580,9 @@ def write_laz(
                 c_(point_source), c_(gps_all),
                 c_(rgb) if hr else c_(rgb, whole=True),
                 c_(nir_all) if hn else c_(nir_all, whole=True),
+                c_(wave_all) if hw else c_(wave_all, whole=True),
                 c_(extra) if extra_size else c_(extra, whole=True),
-                extra_size, int(hr), int(hn), count, count,
+                extra_size, int(hr), int(hn), int(hw), count, count,
                 out.ctypes.data, out.nbytes, sizes_out.ctypes.data, threads,
             )
         else:
@@ -566,8 +592,9 @@ def write_laz(
                 c_(point_source),
                 c_(gps_all) if hg else c_(gps_all, whole=True),
                 c_(rgb) if hr else c_(rgb, whole=True),
+                c_(wave_all) if hw else c_(wave_all, whole=True),
                 c_(extra) if extra_size else c_(extra, whole=True),
-                extra_size, int(hg), int(hr), count, count,
+                extra_size, int(hg), int(hr), int(hw), count, count,
                 out.ctypes.data, out.nbytes, sizes_out.ctypes.data, threads,
             )
         del keep
@@ -601,7 +628,8 @@ def write_laz(
                 classification.ctypes.data, user_data.ctypes.data,
                 ang_all.ctypes.data, point_source.ctypes.data,
                 gps_all.ctypes.data, rgb.ctypes.data, nir_all.ctypes.data,
-                extra.ctypes.data, extra_size, int(hr), int(hn), n, chunk_size,
+                wave_all.ctypes.data, extra.ctypes.data,
+                extra_size, int(hr), int(hn), int(hw), n, chunk_size,
                 out.ctypes.data, cap, sizes.ctypes.data, threads,
             )
         else:
@@ -610,8 +638,9 @@ def write_laz(
                 intensity.ctypes.data, flags8_all.ctypes.data,
                 classification.ctypes.data, ang8_all.ctypes.data,
                 user_data.ctypes.data, point_source.ctypes.data,
-                gps_all.ctypes.data, rgb.ctypes.data, extra.ctypes.data,
-                extra_size, int(hg), int(hr), n, chunk_size,
+                gps_all.ctypes.data, rgb.ctypes.data, wave_all.ctypes.data,
+                extra.ctypes.data,
+                extra_size, int(hg), int(hr), int(hw), n, chunk_size,
                 out.ctypes.data, cap, sizes.ctypes.data, threads,
             )
         if total < 0:
@@ -685,5 +714,7 @@ def las_to_laz(
         cols["color"] = src.column("color")
     if has_nir(h.point_format):
         cols["nir"] = src.column("nir")
+    if has_waveform(h.point_format):
+        cols["waveform"] = src.column("waveform")
     write_laz(laz_path, h, cols, chunk_size=chunk_size)
     src.close()

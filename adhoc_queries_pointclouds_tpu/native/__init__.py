@@ -104,15 +104,15 @@ def load() -> ctypes.CDLL | None:
             [ctypes.c_void_p, ctypes.c_size_t]  # file, size
             + [ctypes.c_void_p] * 4             # offsets, sizes, counts, out offsets
             + [ctypes.c_int64]                  # n_chunks
-            + [ctypes.c_void_p] * 12            # x..extra
-            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra_size, gps, rgb
-               ctypes.c_int64]                  # threads
+            + [ctypes.c_void_p] * 13            # x..wave, extra
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+               ctypes.c_int64]                  # extra_size, gps, rgb, wave, threads
         )
         lib.aqpc_laz_encode_chunks.restype = ctypes.c_int64
         lib.aqpc_laz_encode_chunks.argtypes = (
-            [ctypes.c_void_p] * 12              # x..extra
-            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra_size, gps, rgb
-               ctypes.c_int64, ctypes.c_int64]  # n_points, chunk_size
+            [ctypes.c_void_p] * 13              # x..wave, extra
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+               ctypes.c_int64, ctypes.c_int64]  # extra, gps, rgb, wave, n, chunk
             + [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int64]
         )
         lib.aqpc_laz14_decode_chunks.restype = ctypes.c_int64
@@ -120,15 +120,15 @@ def load() -> ctypes.CDLL | None:
             [ctypes.c_void_p, ctypes.c_size_t]  # file, size
             + [ctypes.c_void_p] * 4             # offsets, sizes, counts, out offsets
             + [ctypes.c_int64]                  # n_chunks
-            + [ctypes.c_void_p] * 14            # x..extra (incl. nir)
-            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra, rgb, nir
-               ctypes.c_int64]                  # threads
+            + [ctypes.c_void_p] * 15            # x..nir, wave, extra
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+               ctypes.c_int64]                  # extra, rgb, nir, wave, threads
         )
         lib.aqpc_laz14_encode_chunks.restype = ctypes.c_int64
         lib.aqpc_laz14_encode_chunks.argtypes = (
-            [ctypes.c_void_p] * 14              # x..extra (incl. nir)
-            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,  # extra, rgb, nir
-               ctypes.c_int64, ctypes.c_int64]  # n_points, chunk_size
+            [ctypes.c_void_p] * 15              # x..nir, wave, extra
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+               ctypes.c_int64, ctypes.c_int64]  # extra, rgb, nir, wave, n, chunk
             + [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int64]
         )
         _LIB = lib

@@ -1077,6 +1077,108 @@ struct Rgb12v2 {
   }
 };
 
+
+// ---------------------------------------------------------------------------
+// Wave packet (29-byte) item codec, used inline in v2 chunks (formats 4/5,
+// WAVEPACKET13 item) and as one v3 layer (formats 9/10, WAVEPACKET14 item).
+// INTEROP RISK: this is a spec-shaped but self-consistent scheme (descriptor
+// symbol model, sequential-offset prediction, delta-coded size/floats);
+// upstream LASzip's wavepacket model details were not reproducible here.
+// ---------------------------------------------------------------------------
+
+struct Wave29 {
+  U8 last_desc = 0;
+  U64 last_offset = 0;
+  U32 last_size = 0;
+  U32 last_rpl = 0;            // return point location, f32 bits
+  U32 last_t[3] = {0, 0, 0};   // parametric dx/dy/dz, f32 bits
+  SymbolModel m_desc;          // 256
+  SymbolModel m_offset_case;   // 4: same / sequential / 32-bit delta / full
+  IntegerCompressor ic_offset, ic_size, ic_rpl, ic_t;
+
+  static U64 rd64(const U8* p) {
+    U64 v;
+    std::memcpy(&v, p, 8);
+    return v;
+  }
+  static U32 rd32(const U8* p) {
+    U32 v;
+    std::memcpy(&v, p, 4);
+    return v;
+  }
+
+  void init(const U8* first, bool w) {
+    last_desc = first[0];
+    last_offset = rd64(first + 1);
+    last_size = rd32(first + 9);
+    last_rpl = rd32(first + 13);
+    for (int i = 0; i < 3; i++) last_t[i] = rd32(first + 17 + 4 * i);
+    m_desc.init(256, w);
+    m_offset_case.init(4, w);
+    ic_offset.init(32, 1, w);
+    ic_size.init(32, 1, w);
+    ic_rpl.init(32, 1, w);
+    ic_t.init(32, 3, w);
+  }
+
+  void read(Decoder& d, U8* out) {
+    last_desc = (U8)d.decodeSymbol(m_desc);
+    U32 oc = d.decodeSymbol(m_offset_case);
+    if (oc == 1) last_offset = last_offset + last_size;
+    else if (oc == 2)
+      last_offset = (U64)((I64)last_offset +
+                          (I64)ic_offset.decompress(d, 0, 0));
+    else if (oc == 3) {
+      U64 lo = (U64)d.readInt();
+      U64 hi = (U64)d.readInt();
+      last_offset = lo | (hi << 32);
+    }  // oc == 0: unchanged
+    last_size = (U32)ic_size.decompress(d, (I32)last_size, 0);
+    last_rpl = (U32)ic_rpl.decompress(d, (I32)last_rpl, 0);
+    for (int i = 0; i < 3; i++)
+      last_t[i] = (U32)ic_t.decompress(d, (I32)last_t[i], (U32)i);
+    out[0] = last_desc;
+    std::memcpy(out + 1, &last_offset, 8);
+    std::memcpy(out + 9, &last_size, 4);
+    std::memcpy(out + 13, &last_rpl, 4);
+    for (int i = 0; i < 3; i++) std::memcpy(out + 17 + 4 * i, &last_t[i], 4);
+  }
+
+  void write(Encoder& e, const U8* in) {
+    U8 desc = in[0];
+    U64 off = rd64(in + 1);
+    U32 size = rd32(in + 9);
+    U32 rpl = rd32(in + 13);
+    e.encodeSymbol(m_desc, desc);
+    if (off == last_offset) {
+      e.encodeSymbol(m_offset_case, 0);
+    } else if (off == last_offset + last_size) {
+      e.encodeSymbol(m_offset_case, 1);
+    } else {
+      I64 diff = (I64)off - (I64)last_offset;
+      if (diff == (I64)(I32)diff && (U32)diff != 0x80000000u) {
+        e.encodeSymbol(m_offset_case, 2);
+        ic_offset.compress(e, 0, (I32)diff, 0);
+      } else {
+        e.encodeSymbol(m_offset_case, 3);
+        e.writeInt((U32)off);
+        e.writeInt((U32)(off >> 32));
+      }
+    }
+    last_desc = desc;
+    last_offset = off;
+    ic_size.compress(e, (I32)last_size, (I32)size, 0);
+    last_size = size;
+    ic_rpl.compress(e, (I32)last_rpl, (I32)rpl, 0);
+    last_rpl = rpl;
+    for (int i = 0; i < 3; i++) {
+      U32 t = rd32(in + 17 + 4 * i);
+      ic_t.compress(e, (I32)last_t[i], (I32)t, (U32)i);
+      last_t[i] = t;
+    }
+  }
+};
+
 // ---------------------------------------------------------------------------
 // BYTE v2 item codec (extra bytes)
 // ---------------------------------------------------------------------------
@@ -1122,6 +1224,7 @@ struct Columns {
   U16* point_source;
   double* gps_time;  // may be null
   U16* rgb;          // (n,3), may be null
+  U8* wave;          // (n,29), may be null
   U8* extra;         // (n, extra_size), may be null
 };
 
@@ -1174,12 +1277,15 @@ static void store_point(const Columns& c, I64 i, const Point10& p, U64 gps,
 
 // raw (uncompressed) first-point-of-chunk serialization: the plain LAS
 // point-record layout for formats 0-3 (+ extra bytes)
-static size_t raw_point_size(bool has_gps, bool has_rgb, U32 extra_size) {
-  return 20 + (has_gps ? 8 : 0) + (has_rgb ? 6 : 0) + extra_size;
+static size_t raw_point_size(bool has_gps, bool has_rgb, bool has_wave,
+                             U32 extra_size) {
+  return 20 + (has_gps ? 8 : 0) + (has_rgb ? 6 : 0) + (has_wave ? 29 : 0) +
+         extra_size;
 }
 
 static void read_raw_point(const U8* p, Point10& pt, U64& gps, U16* rgb,
-                           U8* extra, bool has_gps, bool has_rgb, U32 extra_size) {
+                           U8* wave, U8* extra, bool has_gps, bool has_rgb,
+                           bool has_wave, U32 extra_size) {
   std::memcpy(&pt.x, p, 4);
   std::memcpy(&pt.y, p + 4, 4);
   std::memcpy(&pt.z, p + 8, 4);
@@ -1198,14 +1304,19 @@ static void read_raw_point(const U8* p, Point10& pt, U64& gps, U16* rgb,
     std::memcpy(rgb, p + off, 6);
     off += 6;
   }
+  if (has_wave) {
+    std::memcpy(wave, p + off, 29);
+    off += 29;
+  }
   if (extra_size) std::memcpy(extra, p + off, extra_size);
 }
 
 static void write_raw_point(std::vector<U8>& out, const Point10& pt, U64 gps,
-                            const U16* rgb, const U8* extra, bool has_gps,
-                            bool has_rgb, U32 extra_size) {
+                            const U16* rgb, const U8* wave, const U8* extra,
+                            bool has_gps, bool has_rgb, bool has_wave,
+                            U32 extra_size) {
   size_t base = out.size();
-  out.resize(base + raw_point_size(has_gps, has_rgb, extra_size));
+  out.resize(base + raw_point_size(has_gps, has_rgb, has_wave, extra_size));
   U8* p = out.data() + base;
   std::memcpy(p, &pt.x, 4);
   std::memcpy(p + 4, &pt.y, 4);
@@ -1225,31 +1336,41 @@ static void write_raw_point(std::vector<U8>& out, const Point10& pt, U64 gps,
     std::memcpy(p + off, rgb, 6);
     off += 6;
   }
+  if (has_wave) {
+    std::memcpy(p + off, wave, 29);
+    off += 29;
+  }
   if (extra_size) std::memcpy(p + off, extra, extra_size);
 }
 
 // decode one chunk of `count` points starting at buf into columns[out_base..]
 static int decode_chunk(const U8* buf, size_t nbytes, I64 count, const Columns& c,
-                        I64 out_base, bool has_gps, bool has_rgb, U32 extra_size) {
+                        I64 out_base, bool has_gps, bool has_rgb,
+                        bool has_wave, U32 extra_size) {
   if (count <= 0) return 0;
-  size_t raw = raw_point_size(has_gps, has_rgb, extra_size);
+  size_t raw = raw_point_size(has_gps, has_rgb, has_wave, extra_size);
   if (nbytes < raw) return -1;
 
   Point10 pt{};
   U64 gps = 0;
   U16 rgb[3] = {0, 0, 0};
+  U8 wave[29] = {0};
   std::vector<U8> extra(extra_size ? extra_size : 1);
-  read_raw_point(buf, pt, gps, rgb, extra.data(), has_gps, has_rgb, extra_size);
+  read_raw_point(buf, pt, gps, rgb, wave, extra.data(), has_gps, has_rgb,
+                 has_wave, extra_size);
   store_point(c, out_base, pt, gps, rgb, extra.data(), extra_size);
+  if (c.wave) std::memcpy(c.wave + out_base * 29, wave, 29);
   if (count == 1) return 0;
 
   Point10v2 p10;
   GpsTime11v2 g11;
   Rgb12v2 rgb12;
+  Wave29 wavec;
   Bytev2 bytev2;
   p10.init(pt, false);
   if (has_gps) g11.init(gps, false);
   if (has_rgb) rgb12.init(rgb, false);
+  if (has_wave) wavec.init(wave, false);
   if (extra_size) bytev2.init(extra.data(), extra_size, false);
 
   Decoder d;
@@ -1258,15 +1379,20 @@ static int decode_chunk(const U8* buf, size_t nbytes, I64 count, const Columns& 
     p10.read(d, pt);
     if (has_gps) g11.read(d, gps);
     if (has_rgb) rgb12.read(d, rgb);
+    if (has_wave) wavec.read(d, wave);
     if (extra_size) bytev2.read(d, extra.data());
     store_point(c, out_base + i, pt, gps, rgb, extra.data(), extra_size);
+    if (c.wave) std::memcpy(c.wave + (out_base + i) * 29, wave, 29);
   }
   return 0;
 }
 
 // encode `count` points from columns[in_base..] into out
+static const U8 kZeroWave[29] = {0};
+
 static void encode_chunk(std::vector<U8>& out, I64 count, const Columns& c,
-                         I64 in_base, bool has_gps, bool has_rgb, U32 extra_size) {
+                         I64 in_base, bool has_gps, bool has_rgb,
+                         bool has_wave, U32 extra_size) {
   Point10 pt{};
   U64 gps = 0;
   U16 rgb[3] = {0, 0, 0};
@@ -1275,16 +1401,20 @@ static void encode_chunk(std::vector<U8>& out, I64 count, const Columns& c,
   extra = zero_extra.data();
 
   load_point(c, in_base, pt, gps, rgb, &extra, extra_size);
-  write_raw_point(out, pt, gps, rgb, extra, has_gps, has_rgb, extra_size);
+  const U8* wave = c.wave ? c.wave + in_base * 29 : kZeroWave;
+  write_raw_point(out, pt, gps, rgb, wave, extra, has_gps, has_rgb, has_wave,
+                  extra_size);
   if (count == 1) return;
 
   Point10v2 p10;
   GpsTime11v2 g11;
   Rgb12v2 rgb12;
+  Wave29 wavec;
   Bytev2 bytev2;
   p10.init(pt, true);
   if (has_gps) g11.init(gps, true);
   if (has_rgb) rgb12.init(rgb, true);
+  if (has_wave) wavec.init(wave, true);
   if (extra_size) bytev2.init(extra, extra_size, true);
 
   Encoder e;
@@ -1294,6 +1424,7 @@ static void encode_chunk(std::vector<U8>& out, I64 count, const Columns& c,
     p10.write(e, pt);
     if (has_gps) g11.write(e, gps);
     if (has_rgb) rgb12.write(e, rgb);
+    if (has_wave) wavec.write(e, c.wave ? c.wave + (in_base + i) * 29 : kZeroWave);
     if (extra_size) bytev2.write(e, extra);
   }
   e.done();
@@ -1710,6 +1841,7 @@ struct Columns14 {
   double* gps_time;
   U16* rgb;   // may be null
   U16* nir;   // may be null
+  U8* wave;   // (n,29), may be null
   U8* extra;  // may be null
 };
 
@@ -1773,21 +1905,24 @@ static void store_point14(const Columns14& c, I64 i, const Point14& p,
   if (c.extra && extra) std::memcpy(c.extra + i * extra_size, extra, extra_size);
 }
 
-static size_t raw_point14_size(bool has_rgb, bool has_nir, U32 extra_size) {
-  return 30 + (has_rgb ? 6 : 0) + (has_nir ? 2 : 0) + extra_size;
+static size_t raw_point14_size(bool has_rgb, bool has_nir, bool has_wave,
+                               U32 extra_size) {
+  return 30 + (has_rgb ? 6 : 0) + (has_nir ? 2 : 0) + (has_wave ? 29 : 0) +
+         extra_size;
 }
 
 // decode one v3 layered chunk into columns[out_base..]
 static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
                           const Columns14& c, I64 out_base, bool has_rgb,
-                          bool has_nir, U32 extra_size) {
+                          bool has_nir, bool has_wave, U32 extra_size) {
   if (count <= 0) return 0;
-  size_t raw = raw_point14_size(has_rgb, has_nir, extra_size);
+  size_t raw = raw_point14_size(has_rgb, has_nir, has_wave, extra_size);
   if (nbytes < raw) return -1;
 
   Point14 pt{};
   U16 rgb[3] = {0, 0, 0};
   U16 nir = 0;
+  U8 wave[29] = {0};
   std::vector<U8> extra(extra_size ? extra_size : 1, 0);
   read_raw_point14(buf, pt);
   size_t off = 30;
@@ -1799,11 +1934,17 @@ static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
     std::memcpy(&nir, buf + off, 2);
     off += 2;
   }
+  if (has_wave) {
+    std::memcpy(wave, buf + off, 29);
+    off += 29;
+  }
   if (extra_size) std::memcpy(extra.data(), buf + off, extra_size);
   store_point14(c, out_base, pt, rgb, nir, extra.data(), extra_size);
+  if (c.wave) std::memcpy(c.wave + out_base * 29, wave, 29);
   if (count == 1) return 0;
 
-  U32 n_layers = L14_COUNT + (has_rgb ? 1 : 0) + (has_nir ? 1 : 0) + extra_size;
+  U32 n_layers = L14_COUNT + (has_rgb ? 1 : 0) + (has_nir ? 1 : 0) +
+                 (has_wave ? 1 : 0) + extra_size;
   if (nbytes < raw + 4ull * n_layers) return -1;
   std::vector<U32> sizes(n_layers);
   std::memcpy(sizes.data(), buf + raw, 4ull * n_layers);
@@ -1819,12 +1960,13 @@ static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
   rd.init(pt, start.data(), sizes.data());
   Rgb12v2 rgbc;
   Nir14v3 nirc;
-  Decoder d_rgb, d_nir;
+  Wave29 wavec;
+  Decoder d_rgb, d_nir, d_wave;
   std::vector<Decoder> d_extra(extra_size);
   std::vector<SymbolModel> m_extra(extra_size);
   std::vector<bool> have_extra(extra_size);
   U32 li = L14_COUNT;
-  bool have_rgb_layer = false, have_nir_layer = false;
+  bool have_rgb_layer = false, have_nir_layer = false, have_wave_layer = false;
   if (has_rgb) {
     have_rgb_layer = sizes[li] > 0;
     if (have_rgb_layer) d_rgb.init(start[li], sizes[li]);
@@ -1835,6 +1977,12 @@ static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
     have_nir_layer = sizes[li] > 0;
     if (have_nir_layer) d_nir.init(start[li], sizes[li]);
     nirc.init(nir, false);
+    li++;
+  }
+  if (has_wave) {
+    have_wave_layer = sizes[li] > 0;
+    if (have_wave_layer) d_wave.init(start[li], sizes[li]);
+    wavec.init(wave, false);
     li++;
   }
   std::vector<U8> last_extra(extra.begin(), extra.end());
@@ -1848,6 +1996,7 @@ static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
     rd.read(pt);
     if (has_rgb && have_rgb_layer) rgbc.read(d_rgb, rgb);
     if (has_nir && have_nir_layer) nirc.read(d_nir, nir);
+    if (has_wave && have_wave_layer) wavec.read(d_wave, wave);
     for (U32 b = 0; b < extra_size; b++) {
       if (have_extra[b]) {
         U32 v = d_extra[b].decodeSymbol(m_extra[b]);
@@ -1856,6 +2005,7 @@ static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
       extra[b] = last_extra[b];
     }
     store_point14(c, out_base + i, pt, rgb, nir, extra.data(), extra_size);
+    if (c.wave) std::memcpy(c.wave + (out_base + i) * 29, wave, 29);
   }
   return 0;
 }
@@ -1863,7 +2013,7 @@ static int decode_chunk14(const U8* buf, size_t nbytes, I64 count,
 // encode `count` points from columns[in_base..] into a v3 layered chunk
 static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
                            I64 in_base, bool has_rgb, bool has_nir,
-                           U32 extra_size) {
+                           bool has_wave, U32 extra_size) {
   Point14 pt{};
   U16 rgb[3] = {0, 0, 0};
   U16 nir = 0;
@@ -1872,6 +2022,7 @@ static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
   extra = zero_extra.data();
 
   load_point14(c, in_base, pt, rgb, nir, &extra, extra_size);
+  const U8* wave = c.wave ? c.wave + in_base * 29 : kZeroWave;
   write_raw_point14(out, pt);
   if (has_rgb) {
     size_t base = out.size();
@@ -1883,6 +2034,7 @@ static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
     out.resize(base + 2);
     std::memcpy(out.data() + base, &nir, 2);
   }
+  if (has_wave) out.insert(out.end(), wave, wave + 29);
   if (extra_size) out.insert(out.end(), extra, extra + extra_size);
   if (count == 1) return;
 
@@ -1890,7 +2042,8 @@ static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
   wr.init(pt);
   Rgb12v2 rgbc;
   Nir14v3 nirc;
-  Encoder e_rgb, e_nir;
+  Wave29 wavec;
+  Encoder e_rgb, e_nir, e_wave;
   std::vector<Encoder> e_extra(extra_size);
   std::vector<SymbolModel> m_extra(extra_size);
   std::vector<U8> last_extra(extra, extra + (extra_size ? extra_size : 0));
@@ -1902,6 +2055,10 @@ static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
     nirc.init(nir, true);
     e_nir.init();
   }
+  if (has_wave) {
+    wavec.init(wave, true);
+    e_wave.init();
+  }
   for (U32 b = 0; b < extra_size; b++) {
     e_extra[b].init();
     m_extra[b].init(256, true);
@@ -1912,6 +2069,7 @@ static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
     wr.write(pt);
     if (has_rgb) rgbc.write(e_rgb, rgb);
     if (has_nir) nirc.write(e_nir, nir);
+    if (has_wave) wavec.write(e_wave, c.wave ? c.wave + (in_base + i) * 29 : kZeroWave);
     for (U32 b = 0; b < extra_size; b++) {
       e_extra[b].encodeSymbol(m_extra[b], u8_fold((I32)extra[b] - (I32)last_extra[b]));
       last_extra[b] = extra[b];
@@ -1920,7 +2078,8 @@ static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
 
   // finalize layers, emit [u32 sizes][streams]; gated layers never used
   // emit 0 bytes (the reader keeps last values)
-  U32 n_layers = L14_COUNT + (has_rgb ? 1 : 0) + (has_nir ? 1 : 0) + extra_size;
+  U32 n_layers = L14_COUNT + (has_rgb ? 1 : 0) + (has_nir ? 1 : 0) +
+                 (has_wave ? 1 : 0) + extra_size;
   std::vector<std::vector<U8>*> streams;
   std::vector<std::vector<U8>> empty_keeper;
   empty_keeper.reserve(L14_COUNT);  // stable addresses for the pointers below
@@ -1940,6 +2099,10 @@ static void encode_chunk14(std::vector<U8>& out, I64 count, const Columns14& c,
   if (has_nir) {
     e_nir.done();
     streams.push_back(&e_nir.out);
+  }
+  if (has_wave) {
+    e_wave.done();
+    streams.push_back(&e_wave.out);
   }
   for (U32 b = 0; b < extra_size; b++) {
     e_extra[b].done();
@@ -2023,11 +2186,13 @@ int64_t aqpc_laz_decode_chunks(
     const int64_t* out_offsets, int64_t n_chunks, int32_t* x, int32_t* y,
     int32_t* z, uint16_t* intensity, uint8_t* bit_byte,
     uint8_t* classification, int8_t* scan_angle, uint8_t* user_data,
-    uint16_t* point_source, double* gps_time, uint16_t* rgb, uint8_t* extra,
-    int64_t extra_size, int32_t has_gps, int32_t has_rgb, int64_t n_threads) {
+    uint16_t* point_source, double* gps_time, uint16_t* rgb, uint8_t* wave,
+    uint8_t* extra, int64_t extra_size, int32_t has_gps, int32_t has_rgb,
+    int32_t has_wave, int64_t n_threads) {
   Columns cols{x, y, z, intensity, bit_byte, classification, scan_angle,
                user_data, point_source, has_gps ? gps_time : nullptr,
-               has_rgb ? rgb : nullptr, extra_size ? extra : nullptr};
+               has_rgb ? rgb : nullptr, has_wave ? wave : nullptr,
+               extra_size ? extra : nullptr};
   std::vector<int64_t> fail(n_chunks, 0);
   auto work = [&](int64_t i) {
     U64 off = chunk_offsets[i];
@@ -2038,7 +2203,7 @@ int64_t aqpc_laz_decode_chunks(
     }
     int r = decode_chunk(file + off, sz, chunk_point_counts[i], cols,
                          out_offsets[i], has_gps != 0, has_rgb != 0,
-                         (U32)extra_size);
+                         has_wave != 0, (U32)extra_size);
     if (r != 0) fail[i] = 1;
   };
   if (n_threads <= 1 || n_chunks <= 1) {
@@ -2068,21 +2233,23 @@ int64_t aqpc_laz_encode_chunks(
     const uint16_t* intensity, const uint8_t* bit_byte,
     const uint8_t* classification, const int8_t* scan_angle,
     const uint8_t* user_data, const uint16_t* point_source,
-    const double* gps_time, const uint16_t* rgb, const uint8_t* extra,
-    int64_t extra_size, int32_t has_gps, int32_t has_rgb, int64_t n_points,
+    const double* gps_time, const uint16_t* rgb, const uint8_t* wave,
+    const uint8_t* extra, int64_t extra_size, int32_t has_gps,
+    int32_t has_rgb, int32_t has_wave, int64_t n_points,
     int64_t chunk_size, uint8_t* out, size_t out_cap,
     uint64_t* chunk_sizes_bytes, int64_t n_threads) {
   Columns cols{(I32*)x, (I32*)y, (I32*)z, (U16*)intensity, (U8*)bit_byte,
                (U8*)classification, (I8*)scan_angle, (U8*)user_data,
                (U16*)point_source, has_gps ? (double*)gps_time : nullptr,
-               has_rgb ? (U16*)rgb : nullptr, extra_size ? (U8*)extra : nullptr};
+               has_rgb ? (U16*)rgb : nullptr, has_wave ? (U8*)wave : nullptr,
+               extra_size ? (U8*)extra : nullptr};
   int64_t n_chunks = (n_points + chunk_size - 1) / chunk_size;
   std::vector<std::vector<U8>> bufs(n_chunks);
   auto work = [&](int64_t i) {
     I64 start = i * chunk_size;
     I64 count = std::min<I64>(chunk_size, n_points - start);
     encode_chunk(bufs[i], count, cols, start, has_gps != 0, has_rgb != 0,
-                 (U32)extra_size);
+                 has_wave != 0, (U32)extra_size);
   };
   if (n_threads <= 1 || n_chunks <= 1) {
     for (int64_t i = 0; i < n_chunks; i++) work(i);
@@ -2173,12 +2340,13 @@ int64_t aqpc_laz14_decode_chunks(
     int32_t* z, uint16_t* intensity, uint8_t* returns_byte,
     uint8_t* flags_byte, uint8_t* classification, uint8_t* user_data,
     int16_t* scan_angle, uint16_t* point_source, double* gps_time,
-    uint16_t* rgb, uint16_t* nir, uint8_t* extra, int64_t extra_size,
-    int32_t has_rgb, int32_t has_nir, int64_t n_threads) {
+    uint16_t* rgb, uint16_t* nir, uint8_t* wave, uint8_t* extra,
+    int64_t extra_size, int32_t has_rgb, int32_t has_nir, int32_t has_wave,
+    int64_t n_threads) {
   Columns14 cols{x, y, z, intensity, returns_byte, flags_byte, classification,
                  user_data, (I16*)scan_angle, point_source, gps_time,
                  has_rgb ? rgb : nullptr, has_nir ? nir : nullptr,
-                 extra_size ? extra : nullptr};
+                 has_wave ? wave : nullptr, extra_size ? extra : nullptr};
   std::vector<int64_t> fail(n_chunks, 0);
   auto work = [&](int64_t i) {
     U64 off = chunk_offsets[i];
@@ -2189,7 +2357,7 @@ int64_t aqpc_laz14_decode_chunks(
     }
     int r = decode_chunk14(file + off, sz, chunk_point_counts[i], cols,
                            out_offsets[i], has_rgb != 0, has_nir != 0,
-                           (U32)extra_size);
+                           has_wave != 0, (U32)extra_size);
     if (r != 0) fail[i] = 1;
   };
   if (n_threads <= 1 || n_chunks <= 1) {
@@ -2214,14 +2382,16 @@ int64_t aqpc_laz14_encode_chunks(
     const uint8_t* flags_byte, const uint8_t* classification,
     const uint8_t* user_data, const int16_t* scan_angle,
     const uint16_t* point_source, const double* gps_time, const uint16_t* rgb,
-    const uint16_t* nir, const uint8_t* extra, int64_t extra_size,
-    int32_t has_rgb, int32_t has_nir, int64_t n_points, int64_t chunk_size,
+    const uint16_t* nir, const uint8_t* wave, const uint8_t* extra,
+    int64_t extra_size, int32_t has_rgb, int32_t has_nir, int32_t has_wave,
+    int64_t n_points, int64_t chunk_size,
     uint8_t* out, size_t out_cap, uint64_t* chunk_sizes_bytes,
     int64_t n_threads) {
   Columns14 cols{(I32*)x, (I32*)y, (I32*)z, (U16*)intensity, (U8*)returns_byte,
                  (U8*)flags_byte, (U8*)classification, (U8*)user_data,
                  (I16*)scan_angle, (U16*)point_source, (double*)gps_time,
                  has_rgb ? (U16*)rgb : nullptr, has_nir ? (U16*)nir : nullptr,
+                 has_wave ? (U8*)wave : nullptr,
                  extra_size ? (U8*)extra : nullptr};
   int64_t n_chunks = (n_points + chunk_size - 1) / chunk_size;
   std::vector<std::vector<U8>> bufs(n_chunks);
@@ -2229,7 +2399,7 @@ int64_t aqpc_laz14_encode_chunks(
     I64 start = i * chunk_size;
     I64 count = std::min<I64>(chunk_size, n_points - start);
     encode_chunk14(bufs[i], count, cols, start, has_rgb != 0, has_nir != 0,
-                   (U32)extra_size);
+                   has_wave != 0, (U32)extra_size);
   };
   if (n_threads <= 1 || n_chunks <= 1) {
     for (int64_t i = 0; i < n_chunks; i++) work(i);

@@ -375,3 +375,56 @@ class TestLazFuzz:
         bits[2] = 0
         cols["gps_time"] = bits.view(np.float64)
         self._check(cloud.header, cols, n)
+
+
+@pytest.mark.parametrize("fmt", [4, 5, 9, 10])
+def test_laz_waveform_formats_roundtrip(tmp_path, fmt):
+    """Wave packet formats compress and roundtrip bit-exactly through .laz
+    (v2 WAVEPACKET13 item for 4/5, v3 WAVEPACKET14 layer for 9/10),
+    including realistic sequential-offset packets."""
+    n = 12_000
+    cloud = synth.make_cloud(n, seed=90 + fmt, point_format=fmt)
+    cols = cloud.columns()
+    # realistic wave packets: one descriptor, sequential offsets, fixed size
+    rng = np.random.default_rng(fmt)
+    wave = np.zeros((n, 29), np.uint8)
+    wave[:, 0] = 1  # descriptor index
+    sizes = np.full(n, 1024, np.uint64)
+    offs = np.cumsum(np.concatenate([[0], sizes[:-1]])).astype(np.uint64)
+    wave[:, 1:9] = offs[:, None].view(np.uint8).reshape(n, 8)
+    wave[:, 9:13] = sizes.astype(np.uint32)[:, None].view(np.uint8).reshape(n, 4)
+    wave[:, 13:17] = rng.uniform(0, 100, n).astype(np.float32)[:, None].view(np.uint8).reshape(n, 4)
+    # a few irregular packets exercise the delta/full offset cases
+    irr = rng.choice(n, 50, replace=False)
+    wave[irr, 1:9] = rng.integers(0, 2**62, (50, 1), dtype=np.uint64).view(np.uint8).reshape(50, 8)
+    cols["waveform"] = wave
+    p = tmp_path / f"w{fmt}.laz"
+    write_laz(p, cloud.header, cols, chunk_size=5_000)
+    f = LazFile(p)
+    assert f.has_wave
+    np.testing.assert_array_equal(f.column("waveform"), wave)
+    np.testing.assert_array_equal(f.column("position"), cloud.position_raw)
+    np.testing.assert_array_equal(f.column("classification"), cloud.classification)
+    np.testing.assert_array_equal(f.column("gps_time"), cols["gps_time"])
+    # compresses: sequential packets are highly predictable
+    raw = n * cloud.header.point_record_length
+    assert p.stat().st_size < raw * 0.8
+    f.close()
+
+
+def test_laz_waveform_cross_format_engine(tmp_path):
+    """las -> laz conversion keeps waveform formats queryable with exact
+    counts and identical wave bytes."""
+    files = synth.write_dataset(tmp_path, n_files=1, points_per_file=9_000,
+                                seed=95, formats=("las",), point_format=5)
+    las_to_laz(tmp_path / "las" / "file_0.las",
+               tmp_path / "las" / "conv.laz")
+    src = open_point_cloud(tmp_path / "las" / "file_0.las")
+    dst = LazFile(tmp_path / "las" / "conv.laz")
+    np.testing.assert_array_equal(dst.column("waveform"), src.column("waveform"))
+    box = AABB((100200.0, 200300.0, 10.0), (100900.0, 200900.0, 70.0))
+    oracle = int(np.sum(box.contains_points(src.positions_world())))
+    res = run_query(tmp_path / "las" / "conv.laz",
+                    QueryPlan(bounds=BoundsQuery(box)), block_size=4096)
+    assert res.match_count == oracle > 0
+    src.close(); dst.close()
