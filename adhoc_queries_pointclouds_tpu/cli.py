@@ -75,6 +75,18 @@ def build_query_parser(parser: argparse.ArgumentParser) -> None:
         help="Capture a jax.profiler trace of the query into DIR",
     )
     parser.add_argument(
+        "--distributed", action="store_true",
+        help="Run through the multi-host driver (jax.distributed; every "
+             "host reads its shard of the file manifest). Degenerates to "
+             "the local engine in a single process.",
+    )
+    parser.add_argument(
+        "--coordinator", help="jax.distributed coordinator address "
+        "(host:port); with --num-processes/--process-id brings up DCN",
+    )
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument(
         "--resident", action="store_true",
         help="Load the dataset into device HBM once, then run the query "
              "there (count queries; one dispatch per query)",
@@ -129,6 +141,8 @@ def cmd_query(args: argparse.Namespace) -> int:
 
     if args.resident:
         return _run_resident(args, plan)
+    if args.distributed:
+        return _run_distributed(args, plan)
 
     def execute():
         return run_query(
@@ -165,6 +179,41 @@ def cmd_query(args: argparse.Namespace) -> int:
             f"({result.mpts_per_s:.1f} Mpts/s)"
         )
     print(throughput_line(result.total_file_bytes, result.elapsed_seconds))
+    return 0
+
+
+def _run_distributed(args: argparse.Namespace, plan: QueryPlan) -> int:
+    import time
+
+    from .parallel import distributed
+
+    distributed.initialize(args.coordinator, args.num_processes, args.process_id)
+    kwargs = {}
+    if args.block_size:
+        kwargs["block_size"] = args.block_size
+    t0 = time.perf_counter()
+    if plan.density is not None:
+        count = distributed.distributed_density(args.input, plan, **kwargs)
+    elif plan.collects_points:
+        count, emitter = distributed.distributed_collect(
+            args.input, plan,
+            output_dir=plan.output_dir,
+            print_stream=sys.stdout if args.print_points else None,
+            parity_quirk=plan.parity_quirk, **kwargs,
+        )
+        for f in emitter.output_files:
+            print(f"Wrote {f}")
+    else:
+        count = distributed.distributed_count(
+            args.input, plan, parity_quirk=plan.parity_quirk, **kwargs
+        )
+    import jax
+
+    print(
+        f"Found {count} matching points "
+        f"({jax.process_count()} process(es), {len(jax.devices())} devices, "
+        f"{time.perf_counter() - t0:.2f}s)"
+    )
     return 0
 
 

@@ -121,3 +121,30 @@ def test_negative_bounds_accepted(ds, capsys):
                "--block-size", "16384"])
     assert rc == 0
     assert "Found 0 matching points" in capsys.readouterr().out
+
+
+def test_cli_distributed_flag(tmp_path, capsys):
+    """--distributed routes through the multi-host driver (single-process
+    degeneration) for count, collect, and density plans."""
+    from adhoc_queries_pointclouds_tpu.cli import main
+    from adhoc_queries_pointclouds_tpu.formats import synth
+
+    synth.write_dataset(tmp_path, n_files=2, points_per_file=8_000, seed=44,
+                        formats=("last",))
+    B = "100200;200300;10;100900;200900;70"
+    assert main(["-i", str(tmp_path / "last"), "--bounds", B,
+                 "--distributed", "--block-size", "4096"]) == 0
+    count_line = [l for l in capsys.readouterr().out.splitlines()
+                  if l.startswith("Found")][0]
+    n = int(count_line.split()[1])
+    assert n > 0
+    out = tmp_path / "o"
+    out.mkdir()
+    assert main(["-i", str(tmp_path / "last"), "--bounds", B,
+                 "--distributed", "-o", str(out), "--block-size", "4096"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("Wrote") for l in lines)
+    assert f"Found {n} matching points" in " ".join(lines)
+    assert main(["-i", str(tmp_path / "last"), "--bounds", B, "--density",
+                 "100", "--distributed", "--block-size", "4096"]) == 0
+    assert "Found" in capsys.readouterr().out
