@@ -406,3 +406,17 @@ def merge_winners_host(state: np.ndarray | None, new: np.ndarray) -> np.ndarray:
     first[0] = True
     first[1:] = merged["key"][1:] != merged["key"][:-1]
     return merged[first]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def density_candidates_gather(xs, ys, zs, masks, nvs, tables, *, cap: int):
+    """Batched candidate selection + device-side coordinate gather: one
+    dispatch covers all blocks of a file (XLA partitions the batched sort
+    over whatever mesh the inputs are sharded on). Returns
+    (counts (K,), idx (K, cap), x/y/z gathered at idx (K, cap) each)."""
+    counts, idx = density_candidates_multi(xs, ys, zs, masks, nvs, tables, cap)
+    safe = jnp.minimum(idx, xs.shape[1] - 1)
+    gx = jnp.take_along_axis(xs, safe, axis=1)
+    gy = jnp.take_along_axis(ys, safe, axis=1)
+    gz = jnp.take_along_axis(zs, safe, axis=1)
+    return counts, idx, gx, gy, gz

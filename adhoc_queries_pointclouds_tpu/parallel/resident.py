@@ -403,48 +403,76 @@ class ResidentDataset:
             }
 
         per_file_scope = plan.density.scope == "file"
-        cap = 8192
+        cap = min(8192, self.block_size)
+        # resident blocks are laid out file by file, so each file is one
+        # contiguous row range: ONE jitted candidate dispatch per file (XLA
+        # auto-partitions the batched sort over the mesh), candidates
+        # gathered on device, exact f64 resolution on host
+        ranges: dict[int, tuple[int, int]] = {}
         for b in range(self.n_blocks):
             i = int(self.file_idx[b])
-            if i < 0 or i not in tables_per_file:
+            if i < 0:
+                continue
+            lo, hi = ranges.get(i, (b, b))
+            ranges[i] = (min(lo, b), b + 1)
+
+        for i, (blo, bhi) in sorted(ranges.items()):
+            if i not in tables_per_file:
                 continue
             if plan.bounds is not None and i not in bounds_per_file:
                 continue
-            xb, yb, zb = self.xs[b], self.ys[b], self.zs[b]
-            nv = int(self.nvs[b])
-            mask = self._block_mask(b, plan, bounds_per_file)
-            # device candidate selection; exact f64 keys/d2 resolved on host
-            # for the few candidates (ops/density.py design)
-            cnt, idx = density_ops.block_density_candidates(
-                xb, yb, zb, mask, nv, tables_per_file[i], cap=min(cap, self.block_size)
-            )
-            c = int(cnt)
-            if c == 0:
-                continue
-            if c > min(cap, self.block_size):
+            nvs = jnp.asarray(self.nvs[blo:bhi])
+            xs, ys, zs = self.xs[blo:bhi], self.ys[blo:bhi], self.zs[blo:bhi]
+            if plan.bounds is not None:
+                lo, hi = bounds_per_file[i]
+                los = jnp.tile(jnp.asarray(lo), (bhi - blo, 1))
+                his = jnp.tile(jnp.asarray(hi), (bhi - blo, 1))
+                masks = predicate.bbox_mask_jnp_multi(xs, ys, zs, los, his, nvs)
+            elif plan.time_range is not None:
+                q = np.asarray(
+                    predicate.encode_f64_scalar(plan.time_range.start)
+                    + predicate.encode_f64_scalar(plan.time_range.end),
+                    np.int32,
+                )
+                qs = jnp.tile(jnp.asarray(q), (bhi - blo, 1))
+                masks = predicate.time_mask_jnp_multi(
+                    self.ths[blo:bhi], self.tls[blo:bhi], qs, nvs
+                )
+            else:
+                targets = jnp.full(bhi - blo, plan.classification.classification,
+                                   jnp.int32)
+                masks = predicate.class_mask_jnp_multi(self.cls[blo:bhi], targets, nvs)
+
+            while True:
+                counts, idx, gx, gy, gz = density_ops.density_candidates_gather(
+                    xs, ys, zs, masks, nvs, tables_per_file[i], cap=cap
+                )
+                counts_np = np.asarray(counts)
+                m = int(counts_np.max()) if len(counts_np) else 0
+                if m <= cap:
+                    break
                 from ..ops.compact import pow2_bucket
 
-                cap = pow2_bucket(c, self.block_size)
-                _, idx = density_ops.block_density_candidates(
-                    xb, yb, zb, mask, nv, tables_per_file[i], cap=cap
-                )
-            local = np.asarray(idx[:c], np.int64)
-            sel = jnp.asarray(local)
-            xyz = np.stack(
-                [
-                    np.asarray(jnp.take(xb, sel)),
-                    np.asarray(jnp.take(yb, sel)),
-                    np.asarray(jnp.take(zb, sel)),
-                ],
-                axis=1,
-            ).astype(np.float64)
+                cap = pow2_bucket(m, self.block_size)
+            idx_np = np.asarray(idx)
+            gx_np, gy_np, gz_np = np.asarray(gx), np.asarray(gy), np.asarray(gz)
             h = self.headers[i]
-            world = xyz * np.asarray(h.scale) + np.asarray(h.offset)
-            winners = grid.make_winners(world, local + int(self.block_start[b]), i)
-            if per_file_scope:
-                states[i] = density_ops.merge_winners_host(states.get(i), winners)
-            else:
-                global_state = density_ops.merge_winners_host(global_state, winners)
+            for j in range(bhi - blo):
+                c = int(counts_np[j])
+                if c == 0:
+                    continue
+                local = idx_np[j, :c].astype(np.int64)
+                xyz = np.stack([gx_np[j, :c], gy_np[j, :c], gz_np[j, :c]], 1).astype(
+                    np.float64
+                )
+                world = xyz * np.asarray(h.scale) + np.asarray(h.offset)
+                winners = grid.make_winners(
+                    world, local + int(self.block_start[blo + j]), i
+                )
+                if per_file_scope:
+                    states[i] = density_ops.merge_winners_host(states.get(i), winners)
+                else:
+                    global_state = density_ops.merge_winners_host(global_state, winners)
         return states, global_state
 
     def density_count(self, plan: QueryPlan) -> int:
