@@ -61,18 +61,38 @@ CLASS_EXPERIMENTS = [("building", 6), ("noclass", 19)]
 EXPERIMENT_DATASETS = {1: "navvis3", 2: "doc", 3: "ca13", 4: "doc", 5: "ca13"}
 
 
-def reset_page_cache() -> None:
+def reset_page_cache(dataset_path=None) -> None:
     """Cold-cache protocol (run_query_experiments.rs:8-27; Linux analog of
-    the reference's macOS sync+purge)."""
+    the reference's macOS sync+purge). Without root, falls back to
+    posix_fadvise(DONTNEED) on every dataset file — evicting exactly the
+    pages the next run would otherwise hit warm."""
     subprocess.run(["sync"], check=True)
     try:
         with open("/proc/sys/vm/drop_caches", "w") as f:
             f.write("3\n")
+        return
     except PermissionError:
+        pass
+    if dataset_path is None:
         print(
             "warning: cannot drop page caches (need root); runs are warm-cache",
             file=sys.stderr,
         )
+        return
+    import os
+    from pathlib import Path
+
+    for f in Path(dataset_path).glob("**/*"):
+        if not f.is_file():
+            continue
+        try:
+            fd = os.open(f, os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
 
 
 def _query_args(dataset_path: Path, extra: list[str]) -> list[str]:
@@ -100,7 +120,7 @@ def execute_query(
     recompiles; closer to what a resident service would see.
     """
     if cold:
-        reset_page_cache()
+        reset_page_cache(dataset_path)
     if in_process:
         import contextlib
 
