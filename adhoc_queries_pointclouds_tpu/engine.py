@@ -87,14 +87,36 @@ def current_inflight() -> int:
 
 
 
+_ASSEMBLY_POOL = None
+
+
+def _assembly_pool():
+    """Small shared pool for step-operand assembly: the row copies release
+    the GIL, so multicore hosts overlap them (the copy would otherwise run
+    serially on the main thread between device dispatches)."""
+    global _ASSEMBLY_POOL
+    if _ASSEMBLY_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ASSEMBLY_POOL = ThreadPoolExecutor(max_workers=4)
+    return _ASSEMBLY_POOL
+
+
 def _stack_rows(batch, key: str, rows: int, block_size: int, dtype) -> np.ndarray:
     """Assemble one step operand: each task's unpadded column copied once
     into its row (pad + stack fused; padding content is never read — every
     kernel masks by per-block n_valid)."""
     out = np.empty((rows, block_size), dtype)
-    for j, t in enumerate(batch):
-        col = t.columns[key]
+
+    def fill(j):
+        col = batch[j].columns[key]
         out[j, : len(col)] = col
+
+    if len(batch) >= 4 and block_size >= 1 << 16:
+        list(_assembly_pool().map(fill, range(len(batch))))
+    else:
+        for j in range(len(batch)):
+            fill(j)
     return out
 
 
