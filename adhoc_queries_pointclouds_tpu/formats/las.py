@@ -242,6 +242,13 @@ def record_dtype(fmt: int, record_length: int) -> np.dtype:
     if has_waveform(fmt):
         fields.append(("waveform", "(29,)u1"))
         offsets.append(WAVE_OFFSET[fmt])
+    if record_length > RECORD_LENGTH[fmt]:
+        # "extra bytes" past the standard record (LAS extra-bytes VLR
+        # payloads etc.) are a first-class opaque column so conversion
+        # never drops them
+        k = record_length - RECORD_LENGTH[fmt]
+        fields.append(("extra", f"({k},)u1"))
+        offsets.append(RECORD_LENGTH[fmt])
     return np.dtype(
         {
             "names": [f[0] for f in fields],

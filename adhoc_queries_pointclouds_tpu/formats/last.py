@@ -98,6 +98,12 @@ class LastFile:
             name: (dtype, off, comps)
             for name, dtype, off, comps in field_layout(self.header.point_format)
         }
+        covered = sum(dt.itemsize * c for dt, _, c in self._layout.values())
+        if h.point_record_length > covered:
+            # trailing extra bytes: one transposed tail block (point-major)
+            self._layout["extra"] = (
+                np.dtype("u1"), covered, h.point_record_length - covered
+            )
 
     @property
     def point_count(self) -> int:
@@ -173,9 +179,10 @@ def las_to_last(las_path: str | Path, last_path: str | Path) -> None:
             f.write(b"\x00" * pad)
         for name, dtype, record_off, comps in layout:
             f.write(np.ascontiguousarray(src.column(name)).tobytes())
-        # Record bytes not covered by named fields (e.g. waveform packets or
-        # extra bytes) are appended as one transposed tail block so that
-        # total size stays record_length * N and offsets of later tools hold.
+        # Record bytes not covered by named fields (extra-bytes payloads)
+        # are one more record field -> one contiguous point-major tail block
+        # (total size stays record_length * N; LastFile exposes it as the
+        # "extra" column)
         if covered < h.point_record_length:
             raw = np.frombuffer(
                 src._mm,
@@ -183,7 +190,7 @@ def las_to_last(las_path: str | Path, last_path: str | Path) -> None:
                 count=n * h.point_record_length,
                 offset=h.offset_to_point_data,
             ).reshape(n, h.point_record_length)
-            f.write(np.ascontiguousarray(raw[:, covered:].T).tobytes())
+            f.write(np.ascontiguousarray(raw[:, covered:]).tobytes())
     src.close()
 
 
@@ -200,6 +207,11 @@ def write_last(
     n = header.point_count
     layout = field_layout(header.point_format)
     covered = sum(dt.itemsize * comps for _, dt, _, comps in layout)
+    if header.point_record_length > covered:
+        layout = layout + [
+            ("extra", np.dtype("u1"), covered, header.point_record_length - covered)
+        ]
+        covered = header.point_record_length
     if covered != header.point_record_length:
         raise ValueError(
             f"point format {header.point_format}: fields cover {covered} bytes "

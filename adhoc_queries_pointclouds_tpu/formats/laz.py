@@ -716,5 +716,7 @@ def las_to_laz(
         cols["nir"] = src.column("nir")
     if has_waveform(h.point_format):
         cols["waveform"] = src.column("waveform")
+    if h.point_record_length > _STANDARD_RECORD_LENGTH[h.point_format]:
+        cols["extra"] = src.column("extra")
     write_laz(laz_path, h, cols, chunk_size=chunk_size)
     src.close()

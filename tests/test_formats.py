@@ -338,3 +338,45 @@ class TestWaveform:
             res = run_query(tmp_path / ext, QueryPlan(bounds=BoundsQuery(box)),
                             block_size=4096)
             assert res.match_count == oracle > 0, ext
+
+
+def test_extra_record_bytes_preserved(tmp_path):
+    """Records longer than the standard format (LAS extra-bytes) expose an
+    'extra' column and survive las->last and las->laz conversion bit-exactly
+    (the LAZER container has no extra-bytes slot, matching the reference)."""
+    import dataclasses
+
+    from adhoc_queries_pointclouds_tpu.formats import LazFile, las_to_laz
+    from adhoc_queries_pointclouds_tpu.formats.last import LastFile, las_to_last
+
+    n = 6_000
+    rng = np.random.default_rng(99)
+    cloud = synth.make_cloud(n, seed=99, point_format=1)
+    h = dataclasses.replace(cloud.header, point_record_length=28 + 5)
+    extra = rng.integers(0, 256, (n, 5), dtype=np.int64).astype(np.uint8)
+    recs = np.zeros(n, dtype=las.record_dtype(1, 33))
+    recs["x"], recs["y"], recs["z"] = (cloud.position_raw[:, i] for i in range(3))
+    recs["intensity"] = cloud.intensity
+    recs["classification"] = cloud.classification
+    recs["gps_time"] = cloud.gps_time
+    recs["extra"] = extra
+    p = tmp_path / "e.las"
+    with open(p, "wb") as f:
+        f.write(las.write_las_header(h))
+        f.write(recs.tobytes())
+
+    src = LasFile(p)
+    np.testing.assert_array_equal(src.column("extra"), extra)
+    np.testing.assert_array_equal(src.column("position"), cloud.position_raw)
+
+    las_to_last(p, tmp_path / "e.last")
+    lastf = LastFile(tmp_path / "e.last")
+    np.testing.assert_array_equal(lastf.column("extra"), extra)
+    np.testing.assert_array_equal(lastf.column("position"), cloud.position_raw)
+
+    las_to_laz(p, tmp_path / "e.laz")
+    lazf = LazFile(tmp_path / "e.laz")
+    assert lazf.extra_size == 5
+    np.testing.assert_array_equal(lazf.column("extra"), extra)
+    np.testing.assert_array_equal(lazf.column("gps_time"), cloud.gps_time)
+    src.close(); lastf.close(); lazf.close()
