@@ -747,6 +747,37 @@ def _run_collect_mesh(
         pending.append((batch, counts_dev, idx_dev, cap))
         drain(current_inflight() - 1)
 
+    # Emission (disk gather of hit attributes, LAS encode, printing) runs on
+    # ONE ordered worker thread so it overlaps the next device steps — the
+    # emitter itself is single-threaded by construction (strict file order),
+    # so a single consumer keeps its invariants while freeing the main loop.
+    import queue as queue_mod
+    import threading
+
+    emit_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=8)
+    emit_error: list[BaseException] = []
+
+    def emit_worker():
+        while True:
+            item = emit_q.get()
+            if item is None:
+                return
+            try:
+                if not emit_error:
+                    item()
+            except BaseException as e:  # propagate to the main thread
+                emit_error.append(e)
+            finally:
+                emit_q.task_done()
+
+    emit_thread = threading.Thread(target=emit_worker, daemon=True)
+    emit_thread.start()
+
+    def submit_emit(fn):
+        if emit_error:
+            raise emit_error[0]
+        emit_q.put(fn)
+
     def process(batch, counts_dev, idx_dev, cap_used):
         nonlocal cap
         counts = np.asarray(counts_dev)[: len(batch)]
@@ -758,14 +789,18 @@ def _run_collect_mesh(
         for j, task in enumerate(batch):
             c = int(counts[j])
             if c == 0:
-                emit_scan_result(task, None)
+                submit_emit(lambda t=task: emit_scan_result(t, None))
             elif c == task.n_valid:
                 # whole block matches: indices are implied, skip the fetch
-                emit_scan_result(task, None, full=True)
+                submit_emit(lambda t=task: emit_scan_result(t, None, full=True))
             elif c <= cap_used:
-                emit_scan_result(task, idx_np[j, :c])
+                local = idx_np[j, :c].copy()
+                submit_emit(lambda t=task, l=local: emit_scan_result(t, l))
             else:
-                emit_scan_result(task, retry_block(task, c))
+                # retry needs a device dispatch: do it here (main thread owns
+                # the device), hand only the resolved indices to the worker
+                local = retry_block(task, c)
+                submit_emit(lambda t=task, l=local: emit_scan_result(t, l))
         m = int(counts.max()) if len(counts) else 0
         if m > cap:
             cap = compact.pow2_bucket(m, block_size)
@@ -775,17 +810,23 @@ def _run_collect_mesh(
             process(*pending.popleft())
 
     with timer.stage("scan"):
-        batch = []
-        for task in feeder:
-            batch.append(task)
-            if len(batch) == rows_per_step:
+        try:
+            batch = []
+            for task in feeder:
+                batch.append(task)
+                if len(batch) == rows_per_step:
+                    flush(batch)
+                    batch = []
+            if batch:
                 flush(batch)
-                batch = []
-        if batch:
-            flush(batch)
-        drain(0)
-        if active:
-            finalize_through(max(active))
+            drain(0)
+            if active:
+                submit_emit(lambda: finalize_through(max(active)))
+        finally:
+            emit_q.put(None)
+            emit_thread.join()
+        if emit_error:
+            raise emit_error[0]
 
 
 def _run_density(
