@@ -397,3 +397,40 @@ class TestExtendedFormats:
             res = run_query(tmp_path / ext, QueryPlan(classification=ClassQuery(6)),
                             block_size=BLOCK)
             assert res.match_count == class_oracle, f"class {ext} fmt{fmt}"
+
+
+class TestEverythingAtOnce:
+    """Combined stressor: overlapped device steps (inflight 3), forced
+    pow2 overflow retries (cap 8), spool disk spill, streamed printing, and
+    LAS write-back all at once — every collect-path feature interacting."""
+
+    def test_collect_stress_all_features(self, dataset, tmp_path, monkeypatch):
+        import io
+
+        import adhoc_queries_pointclouds_tpu.engine as eng
+
+        monkeypatch.setenv("AQPC_COLLECT_CAP", "8")
+        monkeypatch.setenv("AQPC_SPOOL_MB", "0.25")
+        monkeypatch.setattr(eng, "MAX_INFLIGHT_STEPS", 3)
+        root, files = dataset
+        oracle = oracle_bbox_count(files["last"], QUERY_BOX)
+        buf = io.StringIO()
+        res = run_query(
+            root / "last",
+            QueryPlan(bounds=BoundsQuery(QUERY_BOX), output_dir=tmp_path,
+                      print_points=True),
+            block_size=BLOCK,
+            print_stream=buf,
+            use_index=False,
+        )
+        assert res.match_count == oracle
+        printed = sum(1 for l in buf.getvalue().splitlines()
+                      if l.startswith("Found point:"))
+        assert printed == oracle
+        written = 0
+        for f in res.output_files:
+            back = LasFile(f)
+            assert np.all(QUERY_BOX.contains_points(back.positions_world()))
+            written += back.point_count
+            back.close()
+        assert written == oracle
