@@ -181,7 +181,44 @@ def device_scan(x, y, z, lo, hi) -> float:
         if pps > best:
             best, best_impl = pps, impl
     log(f"best impl: {best_impl}")
+
+    # classification scan (1 B/point, single stream): the paper's key
+    # LAST-format win; should run nearer the pure-reduction roofline than
+    # the 3-stream bbox scan
+    try:
+        dcls = jax.random.randint(
+            jax.random.PRNGKey(3), shape, 0, 32, dtype=jnp.int32
+        ).astype(jnp.uint8)
+        jax.block_until_ready(dcls)
+
+        def one_cls(t):
+            if on_tpu:
+                return predicate.class_count_pallas(dcls, t, n)
+            return predicate.class_count_jnp(dcls, t, n)
+
+        @jax.jit
+        def multi_cls(t0):
+            def body(k, acc):
+                return acc + one_cls(t0 + k)
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        int(multi_cls(jnp.int32(1)))
+        t0 = time.perf_counter()
+        int(multi_cls(jnp.int32(2)))
+        dt = (time.perf_counter() - t0) / ITERS
+        global _CLASS_PPS
+        _CLASS_PPS = len(x) / dt
+        log(
+            f"class scan: {_CLASS_PPS / 1e6:.1f} Mpts/s "
+            f"({_CLASS_PPS / 1e9:.2f} GB/s of u8 reads)"
+        )
+    except Exception as e:
+        log(f"class scan measure failed: {e}")
     return best
+
+
+_CLASS_PPS = 0.0
 
 
 def roofline() -> dict:
@@ -416,6 +453,9 @@ def main() -> None:
         log(f"roofline probes skipped: {e}")
     extras["kernel_mpts"] = round(device_pps / 1e6, 1)
     extras["kernel_gbs"] = round(device_pps * 12 / 1e9, 1)
+    if _CLASS_PPS:
+        extras["kernel_class_mpts"] = round(_CLASS_PPS / 1e6, 1)
+        extras["kernel_class_gbs"] = round(_CLASS_PPS / 1e9, 2)
     if extras.get("roofline_reduce_gbs"):
         extras["kernel_pct_of_reduce"] = round(
             100.0 * extras["kernel_gbs"] / extras["roofline_reduce_gbs"], 1
