@@ -253,3 +253,65 @@ class TestRandomCollectAndDensity:
                             block_size=BLOCK)
             oracle = int(np.count_nonzero((allg >= t0) & (allg < t1)))
             assert res.match_count == oracle, f"trial {trial}"
+
+
+class TestDensityWinnerIdentity:
+    """Engine-level density must return the exact same WINNER POINTS as a
+    pure-f64 SparseGrid simulation (reference semantics incl. tie rule),
+    across random grids, scales, and multi-block merges — identity, not
+    just counts."""
+
+    def test_random_configs_winner_positions(self, tmp_path):
+        from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
+
+        rng = np.random.default_rng(11)
+        for trial in range(4):
+            scale = tuple(float(10.0 ** rng.integers(-4, -1)) for _ in range(3))
+            offset = tuple(float(v) for v in rng.uniform(-1e5, 1e5, 3))
+            root = tmp_path / f"t{trial}"
+            root.mkdir()
+            files = []
+            worlds = []
+            for k in range(2):
+                cloud = synth.make_cloud(
+                    9_000, seed=100 + 10 * trial + k, scale=scale, offset=offset,
+                    extent=(50.0, 80.0, 20.0),
+                )
+                p = root / f"f{k}.last"
+                from adhoc_queries_pointclouds_tpu.formats.last import write_last
+
+                write_last(p, cloud.header, cloud.columns())
+                files.append(p)
+                worlds.append(cloud.positions_world)
+            total = np.concatenate(worlds)
+            tmin, tmax = total.min(axis=0), total.max(axis=0)
+            box = AABB(tuple(tmin + 0.1), tuple(tmax - 0.1))
+            cell = float(rng.uniform(2.0, 25.0))
+            res = run_query(
+                root,
+                QueryPlan(bounds=BoundsQuery(box),
+                          density=DensityConfig(cell, "file")),
+                block_size=2048,  # several blocks per file -> cross-block merges
+                keep_hits=True,
+            )
+            # oracle: full reference SparseGrid simulation per file
+            from adhoc_queries_pointclouds_tpu.ops.density import GridSpec3D
+
+            grid = GridSpec3D.create(box, cell)
+            for hits in res.hits:
+                w = worlds[hits.file_idx]
+                m = box.contains_points(w)
+                idx = np.nonzero(m)[0]
+                keys, d2s = grid.exact_keys_d2(w[idx])
+                best: dict[int, tuple[float, int]] = {}
+                for k_, d_, i_ in zip(keys, d2s, idx):
+                    cur = best.get(int(k_))
+                    if cur is None or d_ < cur[0]:  # strict <: first wins ties
+                        best[int(k_)] = (float(d_), int(i_))
+                want = np.sort([v[1] for v in best.values()])
+                got_pos = hits.position_world
+                want_pos = w[want]
+                np.testing.assert_allclose(
+                    np.sort(got_pos, axis=0), np.sort(want_pos, axis=0),
+                    err_msg=f"trial {trial} file {hits.file_idx}",
+                )
