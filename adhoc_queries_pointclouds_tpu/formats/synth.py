@@ -183,3 +183,14 @@ def write_dataset(
                 raise ValueError(f"unsupported synth format {fmt}")
             out[fmt].append(p)
     return out
+
+
+def formats_available(*formats: str) -> tuple[str, ...]:
+    """Drop 'laz' when the native codec is unavailable (AQPC_DISABLE_NATIVE
+    or a failed g++ build): the pure-python fallback covers LZ4/LAZER but
+    not LASzip. Fixture generators degrade rather than error."""
+    from .. import native
+
+    if native.available():
+        return tuple(formats)
+    return tuple(f for f in formats if f != "laz")

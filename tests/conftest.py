@@ -51,3 +51,4 @@ def oracle_bbox_mask(cloud, bounds):
     lo = np.asarray(bounds.min)
     hi = np.asarray(bounds.max)
     return np.all((w >= lo) & (w <= hi), axis=1)
+

@@ -382,6 +382,7 @@ class TestExtendedFormats:
     @pytest.mark.parametrize("fmt,exts", [(1, ("las", "last", "lazer", "laz")),
                                           (7, ("las", "last", "lazer", "laz"))])
     def test_bbox_and_class_parity(self, tmp_path, fmt, exts):
+        exts = synth.formats_available(*exts)
         files = synth.write_dataset(
             tmp_path, n_files=2, points_per_file=15_000, seed=50 + fmt,
             formats=exts, point_format=fmt,

@@ -346,6 +346,11 @@ def test_extra_record_bytes_preserved(tmp_path):
     (the LAZER container has no extra-bytes slot, matching the reference)."""
     import dataclasses
 
+    from adhoc_queries_pointclouds_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+
     from adhoc_queries_pointclouds_tpu.formats import LazFile, las_to_laz
     from adhoc_queries_pointclouds_tpu.formats.last import LastFile, las_to_last
 

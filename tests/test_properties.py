@@ -20,7 +20,7 @@ def ds(tmp_path_factory):
     root = tmp_path_factory.mktemp("prop")
     files = synth.write_dataset(
         root, n_files=2, points_per_file=20_000, seed=71,
-        formats=("las", "last", "lazer", "laz"),
+        formats=synth.formats_available("las", "last", "lazer", "laz"),
     )
     worlds = []
     for p in files["las"]:
@@ -48,6 +48,8 @@ class TestRandomAabbs:
             assert got == oracle, f"trial {trial} las: {got} != {oracle}"
             if trial % 5 == 0:
                 for fmt in ("last", "lazer", "laz"):
+                    if fmt not in files:
+                        continue
                     got_f = run_query(root / fmt, plan, block_size=BLOCK).match_count
                     assert got_f == oracle, f"trial {trial} {fmt}"
 

@@ -14,7 +14,7 @@ def gps_dataset(tmp_path_factory):
     # point format 3: gps_time + rgb
     files = synth.write_dataset(
         root, n_files=2, points_per_file=20_000, seed=23,
-        formats=("las", "last", "lazer", "laz"), point_format=3,
+        formats=synth.formats_available("las", "last", "lazer", "laz"), point_format=3,
     )
     return root, files
 
@@ -22,6 +22,8 @@ def gps_dataset(tmp_path_factory):
 @pytest.mark.parametrize("fmt", ["las", "last", "lazer", "laz"])
 def test_time_range_count_parity(gps_dataset, fmt):
     root, files = gps_dataset
+    if fmt not in files:
+        pytest.skip("native codec unavailable")
     t0, t1 = 250_000.0, 600_000.0
     oracle = 0
     for p in files[fmt]:
