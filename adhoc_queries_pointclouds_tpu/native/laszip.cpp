@@ -775,6 +775,10 @@ struct GpsTime11v2 {
   }
 
   void read(Decoder& d, U64& out) {
+    // sequence switches re-enter the decode; a loop (not recursion) keeps
+    // crafted inputs from growing the stack — each iteration consumes
+    // symbols, and a drained stream decodes symbol 0 which terminates
+    for (;;) {
     if (last_gpstime_diff[last] == 0) {
       U32 multi = d.decodeSymbol(m_gpstime_0diff);
       if (multi == 1) {
@@ -792,8 +796,7 @@ struct GpsTime11v2 {
         multi_extreme_counter[last] = 0;
       } else if (multi > 2) {
         last = (last + multi - 2) & 3;
-        read(d, out);
-        return;
+        continue;  // re-decode against the switched sequence
       }
       // multi == 0: time repeats
     } else {
@@ -853,9 +856,10 @@ struct GpsTime11v2 {
         multi_extreme_counter[last] = 0;
       } else {  // 513..515: switch sequence
         last = (last + multi - GPS_MULTI_CODE_FULL) & 3;
-        read(d, out);
-        return;
+        continue;  // re-decode against the switched sequence
       }
+    }
+    break;
     }
     out = last_gpstime[last];
   }

@@ -385,3 +385,57 @@ def test_extra_record_bytes_preserved(tmp_path):
     np.testing.assert_array_equal(lazf.column("extra"), extra)
     np.testing.assert_array_equal(lazf.column("gps_time"), cloud.gps_time)
     src.close(); lastf.close(); lazf.close()
+
+
+class TestCorruptionRobustness:
+    """Randomly corrupted container bytes must produce clean Python errors
+    or garbage-but-bounded results — never crash the process — and
+    --keep-going must survive a corrupted file in the dataset."""
+
+    @pytest.mark.parametrize("ext", ["las", "last", "lazer", "laz"])
+    def test_random_corruption_never_crashes(self, tmp_path, ext):
+        from adhoc_queries_pointclouds_tpu import native
+
+        if ext == "laz" and not native.available():
+            pytest.skip("native codec unavailable")
+        rng = np.random.default_rng(7)
+        cloud = synth.make_cloud(20_000, seed=7, point_format=1)
+        p = tmp_path / f"c.{ext}"
+        {"las": synth.write_cloud_las, "last": synth.write_cloud_last,
+         "lazer": synth.write_cloud_lazer, "laz": synth.write_cloud_laz}[ext](cloud, p)
+        raw = bytearray(p.read_bytes())
+        for trial in range(12):
+            data = bytearray(raw)
+            # corrupt a handful of bytes past the header
+            for _ in range(8):
+                i = int(rng.integers(400, len(data)))
+                data[i] = int(rng.integers(0, 256))
+            q = tmp_path / f"c{trial}.{ext}"
+            q.write_bytes(bytes(data))
+            try:
+                r = open_point_cloud(q)
+                for name in ("position", "classification"):
+                    col = r.column(name)
+                    assert len(col) <= 20_000
+                r.close()
+            except (ValueError, NotImplementedError, RuntimeError, OSError):
+                pass  # clean rejection is fine; crashing is not
+
+    def test_keep_going_skips_corrupt_file(self, tmp_path):
+        from adhoc_queries_pointclouds_tpu.engine import run_query
+        from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, QueryPlan
+        from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+        files = synth.write_dataset(tmp_path, n_files=2, points_per_file=8_000,
+                                    seed=8, formats=("last",))
+        # truncate one file so open fails
+        good = files["last"][0]
+        bad = files["last"][1]
+        bad.write_bytes(bad.read_bytes()[:-4096])
+        box = AABB((-1e9,) * 3, (1e9,) * 3)
+        r = open_point_cloud(good)
+        oracle = r.point_count
+        r.close()
+        res = run_query(tmp_path / "last", QueryPlan(bounds=BoundsQuery(box)),
+                        block_size=4096, keep_going=True, use_index=False)
+        assert res.match_count == oracle
