@@ -801,7 +801,15 @@ def _run_collect_mesh(
                 # the device), hand only the resolved indices to the worker
                 local = retry_block(task, c)
                 submit_emit(lambda t=task, l=local: emit_scan_result(t, l))
-        m = int(counts.max()) if len(counts) else 0
+        # ratchet the cap from PARTIAL blocks only: full-match blocks never
+        # fetch indices (they emit an implied range), and sizing every
+        # step's index buffer to the block size would cost
+        # inflight * rows * block_size * 4 B of memory for nothing
+        partial = [
+            int(c) for j, c in enumerate(counts)
+            if 0 < int(c) < batch[j].n_valid
+        ]
+        m = max(partial) if partial else 0
         if m > cap:
             cap = compact.pow2_bucket(m, block_size)
 
