@@ -307,12 +307,11 @@ def cmd_index(args: argparse.Namespace) -> int:
 def cmd_count_points(args: argparse.Namespace) -> int:
     """Header-only dataset point count (bin/count_points.rs:66-79)."""
     from .engine import discover_files
-    from .formats.las import parse_las_header
+    from .formats.las import parse_las_header_file
 
     total = 0
     for f in discover_files(args.input):
-        header = parse_las_header(open(f, "rb").read(512))
-        total += header.point_count
+        total += parse_las_header_file(f).point_count
     print(f"Total number of points: {total}")
     return 0
 

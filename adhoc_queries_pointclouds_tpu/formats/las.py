@@ -127,6 +127,13 @@ _V13_HEADER_SIZE = 235
 _V14_HEADER_SIZE = 375
 
 
+def parse_las_header_file(path) -> LasHeader:
+    """Parse the header straight from a path, closing the file promptly
+    (avoids one leaked fd per file during startup header sniffing)."""
+    with open(path, "rb") as fh:
+        return parse_las_header(fh.read(512))
+
+
 def parse_las_header(buf: bytes | memoryview) -> LasHeader:
     """Parse the public header block from the first bytes of a LAS-family file.
 

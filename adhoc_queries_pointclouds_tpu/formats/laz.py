@@ -45,6 +45,45 @@ LASZIP_RECORD_ID = 22204
 DEFAULT_CHUNK_SIZE = 50_000
 VARIABLE_CHUNK_SIZE = 0xFFFFFFFF
 
+# VLR description written by this codec — used to tell our own files apart
+# from foreign (third-party-encoded) LAZ, whose decode is spec-faithful best
+# effort but externally unvalidated (docs/LASZIP_INTEROP.md).
+AQPC_VLR_DESCRIPTION = b"aqpc-tpu laszip"
+
+
+class LazInteropWarning(UserWarning):
+    """Raised once per process per situation when a LAZ file crosses the
+    self-written boundary: reading a foreign file, or writing a file whose
+    items include documented-uncertain codec paths. Decode/encode proceeds —
+    the point is to fail LOUDLY instead of silently producing valid-looking
+    garbage if one of the uncertain constants differs from upstream LASzip."""
+
+
+_warned_keys: set = set()
+
+
+def _warn_interop_once(key: str, msg: str) -> None:
+    import warnings
+
+    if key in _warned_keys:
+        return
+    _warned_keys.add(key)
+    warnings.warn(msg, LazInteropWarning, stacklevel=3)
+
+
+def _uncertain_items(is14: bool, has_wave: bool) -> list[str]:
+    """Codec paths whose constants are documented-uncertain vs upstream
+    LASzip (docs/LASZIP_INTEROP.md) — named in interop warnings."""
+    out = []
+    if is14:
+        out.append(
+            "v3 layered items (16x16 number-return context tables, layer "
+            "context formulas, per-context RGB14/NIR model copies)"
+        )
+    if has_wave:
+        out.append("wave-packet items (self-consistent Wave29 scheme)")
+    return out
+
 ITEM_BYTE = 0
 ITEM_POINT10 = 6
 ITEM_GPSTIME11 = 7
@@ -106,6 +145,7 @@ class LazFile:
             body = pos + 54
             if user_id == LASZIP_USER_ID and record_id == LASZIP_RECORD_ID:
                 payload = bytes(buf[body : body + rec_len])
+                self.vlr_description = bytes(buf[pos + 22 : pos + 54]).rstrip(b"\x00")
             pos = body + rec_len
         if payload is None:
             raise ValueError(f"{self.path}: no laszip VLR found — not a LAZ file?")
@@ -167,6 +207,25 @@ class LazFile:
                     self.extra_size = size
                 else:
                     raise NotImplementedError(f"LAZ item type {t} not supported")
+        self.is_foreign = (
+            getattr(self, "vlr_description", b"") != AQPC_VLR_DESCRIPTION
+        )
+        if self.is_foreign:
+            risky = _uncertain_items(self.is14, self.has_wave)
+            what = (
+                "; uncertain codec paths in play: " + "; ".join(risky)
+                if risky
+                else " (v2 core items: spec-faithful, externally unvalidated)"
+            )
+            _warn_interop_once(
+                f"read:{self.is14}:{self.has_wave}",
+                f"{self.path}: LAZ file was not written by this codec "
+                f"(VLR description {getattr(self, 'vlr_description', b'')!r}); "
+                f"third-party LASzip interop is unvalidated in this build — a "
+                f"mis-decode would be silent{what}. See docs/LASZIP_INTEROP.md; "
+                f"drop externally-encoded fixtures into tests/fixtures/laz/ to "
+                f"activate the conformance harness.",
+            )
 
     def _parse_chunk_table(self):
         h = self.header
@@ -501,6 +560,19 @@ def write_laz(
         raise RuntimeError("LAZ support requires the native codec")
     if header.point_format not in _STANDARD_RECORD_LENGTH:
         raise NotImplementedError("LAZ write supports point formats 0-10")
+    risky = _uncertain_items(
+        header.point_format >= 6, has_waveform(header.point_format)
+    )
+    if risky:
+        _warn_interop_once(
+            f"write:{header.point_format >= 6}:{has_waveform(header.point_format)}",
+            f"writing LAZ point format {header.point_format}: the laszip VLR "
+            f"claims standard LASzip, but these items are only guaranteed "
+            f"self-consistent (this codec round-trips them exactly; upstream "
+            f"readers may mis-decode): {'; '.join(risky)}. Files are tagged "
+            f"via VLR description {AQPC_VLR_DESCRIPTION!r}; prefer formats "
+            f"0-3 for external consumers. See docs/LASZIP_INTEROP.md.",
+        )
     lib = native.load()
     n = header.point_count
     threads = threads or _default_threads()

@@ -131,6 +131,10 @@ def load() -> ctypes.CDLL | None:
                ctypes.c_int64, ctypes.c_int64]  # extra, rgb, nir, wave, n, chunk
             + [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int64]
         )
+        lib.aqpc_format_points.restype = ctypes.c_int64
+        lib.aqpc_format_points.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -167,6 +171,34 @@ def lz4_frame_decompress(data: bytes | memoryview | np.ndarray, dst_cap: int) ->
     if n < 0:
         raise RuntimeError(f"lz4 frame decompression failed (code {n})")
     return dst[:n]
+
+
+def format_points(
+    pos_world: np.ndarray, rgb: np.ndarray, cls: np.ndarray, intensity: np.ndarray
+) -> str | None:
+    """Batch-format --print-points lines in C (snprintf %.3f is correctly
+    rounded, byte-identical to Python's f'{v:.3f}'). None if the native
+    library is unavailable (caller falls back to Python formatting)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(cls)
+    p = np.ascontiguousarray(pos_world, np.float64).reshape(n, 3)
+    c = np.ascontiguousarray(rgb, np.uint16).reshape(n, 3)
+    k = np.ascontiguousarray(cls, np.uint8)
+    it = np.ascontiguousarray(intensity, np.uint16)
+    cap = 96 * n + 4096  # typical line ~70 B; retry covers the rest
+    while True:
+        out = np.empty(cap, np.uint8)
+        need = lib.aqpc_format_points(
+            p.ctypes.data_as(ctypes.c_void_p), c.ctypes.data_as(ctypes.c_void_p),
+            k.ctypes.data_as(ctypes.c_void_p), it.ctypes.data_as(ctypes.c_void_p),
+            n, out.ctypes.data_as(ctypes.c_void_p), cap)
+        if need < 0:
+            return None
+        if need <= cap:
+            return out[:need].tobytes().decode("ascii")
+        cap = int(need)
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:

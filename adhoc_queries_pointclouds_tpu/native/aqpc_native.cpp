@@ -14,6 +14,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdio>
+#include <cmath>
+#include <vector>
 
 extern "C" {
 
@@ -380,6 +383,108 @@ int64_t aqpc_lz4_frames_decompress(const uint8_t* src,
     out_sizes[i] = n;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batched --print-points line formatter. The reference's StdOutCollector
+// formats one point per loop iteration (query/src/collect_points.rs:46-70);
+// Python per-point f-strings cap at ~0.5 Mpts/s, so the streaming sink hands
+// whole hit chunks here. snprintf's %.3f is correctly rounded (exact decimal
+// ties at 3 digits are impossible for binary doubles), so bytes match
+// Python's f"{v:.3f}" exactly. Returns total bytes needed; caller re-calls
+// with a bigger buffer if that exceeds cap (lines beyond cap are skipped,
+// never truncated mid-line).
+// ---------------------------------------------------------------------------
+
+static inline char* fmt_u64(char* p, uint64_t v) {
+  char tmp[20];
+  int i = 0;
+  do { tmp[i++] = (char)('0' + v % 10); v /= 10; } while (v);
+  while (i) *p++ = tmp[--i];
+  return p;
+}
+
+// %.3f by integer math, provably equal to correctly-rounded snprintf:
+// scaled = |v|*1000 carries <= 0.5 ulp error (~1.11e-16 * scaled); if the
+// fractional part is farther than 2.3e-16*scaled from the 0.5 boundary the
+// rounding direction of the exact product is determined (exact decimal ties
+// at 3 digits are impossible for binary doubles), else -1 -> snprintf
+// fallback. scaled < 9e15 < 2^53 keeps floor/subtract exact.
+static inline int fmt_f3(char* p, double v) {
+  double mag = std::fabs(v);
+  if (!(mag < 9.0e12)) return -1;  // huge / inf / nan -> snprintf
+  double scaled = mag * 1000.0;
+  double fl = std::floor(scaled);
+  double frac = scaled - fl;
+  if (std::fabs(frac - 0.5) <= 2.3e-16 * scaled + 1e-300) return -1;
+  uint64_t q = (uint64_t)fl + (frac > 0.5 ? 1 : 0);
+  char* s = p;
+  if (std::signbit(v)) *s++ = '-';
+  s = fmt_u64(s, q / 1000);
+  uint64_t fp = q % 1000;
+  *s++ = '.';
+  *s++ = (char)('0' + fp / 100);
+  *s++ = (char)('0' + fp / 10 % 10);
+  *s++ = (char)('0' + fp % 10);
+  return (int)(s - p);
+}
+
+int64_t aqpc_format_points(const double* pos,       // (n, 3) world xyz
+                           const uint16_t* rgb,     // (n, 3)
+                           const uint8_t* cls,      // (n,)
+                           const uint16_t* intensity,  // (n,)
+                           int64_t n, char* out, int64_t cap) {
+  int64_t total = 0;
+  char line[512];
+  for (int64_t i = 0; i < n; i++) {
+    char* s = line;
+    std::memcpy(s, "Found point: (", 14); s += 14;
+    int ok = 1;
+    for (int a = 0; a < 3 && ok; a++) {
+      int w = fmt_f3(s, pos[i * 3 + a]);
+      if (w < 0) { ok = 0; break; }
+      s += w;
+      if (a < 2) { *s++ = ','; *s++ = ' '; }
+    }
+    int len;
+    if (ok) {
+      std::memcpy(s, ") class=", 8); s += 8;
+      s = fmt_u64(s, cls[i]);
+      std::memcpy(s, " rgb=(", 6); s += 6;
+      s = fmt_u64(s, rgb[i * 3]); *s++ = ','; *s++ = ' ';
+      s = fmt_u64(s, rgb[i * 3 + 1]); *s++ = ','; *s++ = ' ';
+      s = fmt_u64(s, rgb[i * 3 + 2]);
+      std::memcpy(s, ") intensity=", 12); s += 12;
+      s = fmt_u64(s, intensity[i]);
+      *s++ = '\n';
+      len = (int)(s - line);
+    } else {
+      len = snprintf(line, sizeof(line),
+                     "Found point: (%.3f, %.3f, %.3f) class=%u rgb=(%u, %u, %u) "
+                     "intensity=%u\n",
+                     pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2],
+                     (unsigned)cls[i], (unsigned)rgb[i * 3],
+                     (unsigned)rgb[i * 3 + 1], (unsigned)rgb[i * 3 + 2],
+                     (unsigned)intensity[i]);
+      if (len < 0) return -1;
+      if (len >= (int)sizeof(line)) {
+        // absurd coordinate magnitude: heap-format this one line
+        std::vector<char> big((size_t)len + 1);
+        snprintf(big.data(), big.size(),
+                 "Found point: (%.3f, %.3f, %.3f) class=%u rgb=(%u, %u, %u) "
+                 "intensity=%u\n",
+                 pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2], (unsigned)cls[i],
+                 (unsigned)rgb[i * 3], (unsigned)rgb[i * 3 + 1],
+                 (unsigned)rgb[i * 3 + 2], (unsigned)intensity[i]);
+        if (total + len <= cap) std::memcpy(out + total, big.data(), (size_t)len);
+        total += len;
+        continue;
+      }
+    }
+    if (total + len <= cap) std::memcpy(out + total, line, (size_t)len);
+    total += len;
+  }
+  return total;
 }
 
 }  // extern "C"

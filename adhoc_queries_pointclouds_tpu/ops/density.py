@@ -27,6 +27,16 @@ ties). TPUs have no fast f64, so the work splits:
 
 So the 12 B/point hot path runs on the TPU and the f64 math only ever
 touches O(cells + epsilon-ties) points — exact parity at device speed.
+
+Scope of the bit-exactness claim: it covers cell COUNTS always, and winner
+IDENTITY for in-grid (non-wrapped) cells. For masked-key *aliases* — points
+beyond the grid max face whose bit-masked cells wrap onto the same HashMap
+key (grid_sampling.rs:66-70) — the reference compares the stored point
+against the INCOMING point's unmasked cell center (grid_sampling.rs:80-101),
+an insertion-order-dependent rule that is not a per-key minimum; this module
+compares each candidate to its OWN cell center (a well-defined min), so the
+surviving point on an aliased key may differ. The set of occupied keys, and
+therefore every density count, is identical either way.
 """
 
 from __future__ import annotations

@@ -196,13 +196,16 @@ def encode_f64_sortable(t) -> tuple:
     """f64 array -> (hi, lo) int32 arrays, order-preserving.
 
     enc(a) < enc(b) lexicographically (signed int32) iff a < b as doubles
-    (total order; -0.0 < +0.0 and NaNs sort by payload, which is fine for a
-    range predicate — NaN GPS times are garbage-in-garbage-out, matching
-    what an f64 compare would do for the reference).
+    (total order; NaNs sort by payload, which is fine for a range predicate
+    — NaN GPS times are garbage-in-garbage-out, matching what an f64
+    compare would do for the reference). -0.0 is normalized to +0.0 first
+    (`t + 0.0`) so encoded compares agree with IEEE f64 compares at that
+    edge (f64 has -0.0 == 0.0; the raw bit order would put -0.0 < +0.0).
     """
     import numpy as np
 
-    bits = np.ascontiguousarray(np.asarray(t, np.float64)).view(np.uint64)
+    arr = np.asarray(t, np.float64) + 0.0  # -0.0 -> +0.0
+    bits = np.ascontiguousarray(arr).view(np.uint64)
     neg = (bits >> np.uint64(63)).astype(bool)
     flipped = np.where(neg, ~bits, bits ^ np.uint64(1 << 63))
     hi = ((flipped >> np.uint64(32)).astype(np.uint32) ^ np.uint32(0x80000000)).view(

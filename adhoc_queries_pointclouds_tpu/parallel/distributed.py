@@ -362,9 +362,12 @@ def distributed_collect(
 def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
     """Union of winner cell keys across processes (u64, order irrelevant).
 
-    Pads to the cross-host max, ships one (d_global, maxn) int64 array, and
-    all-gathers it so every process sees every host's keys — winner payloads
-    never travel, only the 8-byte keys."""
+    Pads to the cross-host max and all-gathers one (d_global, 1 + maxn)
+    int64 array — column 0 carries each row's valid-key count, so padding
+    is sliced by count rather than filtered by an in-band sentinel (a
+    legitimate all-ones masked key, possible when sum(bits) == 64 or for
+    wrapped beyond-max-face cells, would collide with any sentinel value).
+    Winner payloads never travel, only the 8-byte keys."""
     if jax.process_count() == 1:
         return keys
     try:
@@ -375,19 +378,24 @@ def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
 
     d_local = len(jax.local_devices())
     maxn = max(_allreduce_max(len(keys), mesh), 1)
-    local = np.full((d_local, maxn), -1, np.int64)  # -1 = padding sentinel
-    local[0, : len(keys)] = keys.view(np.int64)
+    local = np.zeros((d_local, 1 + maxn), np.int64)
+    local[0, 0] = len(keys)
+    local[0, 1 : 1 + len(keys)] = keys.view(np.int64)
     arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P2("d", None)), local, (mesh.devices.size, maxn)
+        NamedSharding(mesh, P2("d", None)), local, (mesh.devices.size, 1 + maxn)
     )
-    gathered = jax.jit(
-        shard_map(
-            lambda x: jax.lax.all_gather(x, "d", tiled=True),
-            mesh=mesh, in_specs=P2("d", None), out_specs=P2(), check_vma=False,
-        )
-    )(arr)
-    flat = np.asarray(gathered).reshape(-1)
-    return flat[flat != -1].view(np.uint64)
+    gathered = np.asarray(
+        jax.jit(
+            shard_map(
+                lambda x: jax.lax.all_gather(x, "d", tiled=True),
+                mesh=mesh, in_specs=P2("d", None), out_specs=P2(), check_vma=False,
+            )
+        )(arr)
+    )
+    parts = [row[1 : 1 + row[0]] for row in gathered if row[0] > 0]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.concatenate(parts).view(np.uint64)
 
 
 def distributed_density(

@@ -133,12 +133,11 @@ def main(argv: list[str] | None = None) -> int:
     # keep GPS times resident too when the dataset has them (enables
     # resident time_range queries; +8 B/point of HBM)
     from .engine import discover_files
-    from .formats.las import has_gps_time, parse_las_header
+    from .formats.las import has_gps_time, parse_las_header_file
 
     files = discover_files(args.input)
     if files and all(
-        has_gps_time(parse_las_header(open(f, "rb").read(512)).point_format)
-        for f in files
+        has_gps_time(parse_las_header_file(f).point_format) for f in files
     ):
         attrs.append("gps_time")
     ds = ResidentDataset.load(
