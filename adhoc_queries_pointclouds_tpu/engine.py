@@ -854,7 +854,7 @@ def _run_density(
     """
     from collections import deque
 
-    from .index import class_present, classify_block, DISJOINT
+    from .index import class_present, classify_block, classify_time_block, DISJOINT
 
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
@@ -917,6 +917,19 @@ def _run_density(
                 if idx_info is not None and is_bounds:
                     lo, hi = file_bounds[file_idx]
                     cls_b = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+                    if cls_b == DISJOINT:
+                        timer.counts["index_skipped_blocks"] += 1
+                        timer.counts["index_pruned_points"] += stop - start
+                        continue
+                elif idx_info is not None and is_time and idx_info[3] is not None:
+                    # GPS-min/max pruning mirrors _run_count's time branch;
+                    # only DISJOINT can skip — a time-CONTAINED block still
+                    # has to flow through the grid dedupe (unlike counting,
+                    # density needs the points themselves).
+                    cls_b = classify_time_block(
+                        idx_info[3], idx_info[0], start, stop,
+                        plan.time_range.start, plan.time_range.end,
+                    )
                     if cls_b == DISJOINT:
                         timer.counts["index_skipped_blocks"] += 1
                         timer.counts["index_pruned_points"] += stop - start

@@ -339,3 +339,30 @@ class TestGpsTimeIndex:
                          block_size=4096, keep_hits=True,
                          print_stream=open(os.devnull, "w"))
         assert res2.match_count == oracle
+
+    def test_time_density_query_prunes_and_stays_exact(self, tmp_path):
+        """time+density rides the same GPS sidecar pruning as count/collect
+        (the density task loop's classify_time_block branch)."""
+        from adhoc_queries_pointclouds_tpu.models.query import (
+            DensityConfig, TimeRangeQuery,
+        )
+
+        cloud = synth.make_cloud(32_768, seed=74, point_format=1)
+        cloud.gps_time = np.sort(cloud.gps_time)
+        synth.write_cloud_last(cloud, tmp_path / "sorted.last")
+        r = open_point_cloud(tmp_path / "sorted.last")
+        index_mod.save_index(
+            tmp_path / "sorted.last", *index_mod.build_index(r, index_block=2048),
+            index_block=2048, n_points=32_768,
+        )
+        r.close()
+        g = cloud.gps_time
+        t0, t1 = float(g[4_000]), float(g[10_000])
+        plan = QueryPlan(
+            time_range=TimeRangeQuery(t0, t1), density=DensityConfig(200.0)
+        )
+        baseline = run_query(tmp_path / "sorted.last", plan, block_size=4096,
+                             use_index=False)
+        res = run_query(tmp_path / "sorted.last", plan, block_size=4096)
+        assert res.match_count == baseline.match_count > 0
+        assert res.timer.counts.get("index_skipped_blocks", 0) > 0
