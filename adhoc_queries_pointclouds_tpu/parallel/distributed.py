@@ -378,20 +378,27 @@ def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
 
     d_local = len(jax.local_devices())
     maxn = max(_allreduce_max(len(keys), mesh), 1)
-    local = np.zeros((d_local, 1 + maxn), np.int64)
-    local[0, 0] = len(keys)
-    local[0, 1 : 1 + len(keys)] = keys.view(np.int64)
+    local64 = np.zeros((d_local, 1 + maxn), np.int64)
+    local64[0, 0] = len(keys)
+    local64[0, 1 : 1 + len(keys)] = keys.view(np.int64)
+    # Ship as int32 words, not int64: the gloo CPU backend's s64 all_gather
+    # mangles payloads (elements come back bit-interleaved as s32 pairs —
+    # observed on jax 0.9.0, tools/dist2.py caught it). Element-wise bit
+    # layout is preserved under the s32 view, so gather that and view back.
+    local = local64.view(np.int32)
     arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P2("d", None)), local, (mesh.devices.size, 1 + maxn)
+        NamedSharding(mesh, P2("d", None)),
+        local,
+        (mesh.devices.size, local.shape[1]),
     )
-    gathered = np.asarray(
+    gathered = np.ascontiguousarray(
         jax.jit(
             shard_map(
                 lambda x: jax.lax.all_gather(x, "d", tiled=True),
                 mesh=mesh, in_specs=P2("d", None), out_specs=P2(), check_vma=False,
             )
         )(arr)
-    )
+    ).view(np.int64)
     parts = [row[1 : 1 + row[0]] for row in gathered if row[0] > 0]
     if not parts:
         return np.empty(0, np.uint64)

@@ -33,7 +33,12 @@ from ..ops import predicate
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    devices = jax.devices()
+    # The LOCAL engine meshes only this process's devices: under
+    # jax.distributed (process_count > 1) a jax.devices() mesh would span
+    # non-addressable devices and every readback would fail — cross-process
+    # meshes belong to parallel/distributed.py, which assembles global
+    # arrays from process-local shards instead.
+    devices = jax.local_devices() if jax.process_count() > 1 else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     import numpy as np

@@ -25,6 +25,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / large-scale tests (minutes)"
+    )
+
+
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu"
     assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"
