@@ -120,6 +120,35 @@ def _stack_rows(batch, key: str, rows: int, block_size: int, dtype) -> np.ndarra
     return out
 
 
+def _stack_planes(batch, key: str, axis: int, rows: int, k_bits: int,
+                  block_size: int) -> np.ndarray:
+    """Assemble one packed-transport operand: (rows, k//8*B + k%8*(B//8))
+    u8 bit/byte planes of each block's u32 residual stream. Every plane is
+    extracted from the full residual, so blocks narrower than the step
+    width contribute all-zero high planes naturally; pad tails are masked
+    by n_valid like every other kernel."""
+    from .ops import predicate
+
+    out = np.empty((rows, predicate.packed_row_width(k_bits, block_size)), np.uint8)
+
+    def fill(j):
+        base = int(batch[j].columns["base"][axis])
+        predicate.pack_bits_into(out[j], batch[j].columns[key], k_bits, base,
+                                 block_size)
+
+    if len(batch) >= 4 and block_size >= 1 << 16:
+        list(_assembly_pool().map(fill, range(len(batch))))
+    else:
+        for j in range(len(batch)):
+            fill(j)
+    return out
+
+
+def _pack_transport_enabled() -> bool:
+    """Byte-planar packed coordinate H2D transport (AQPC_PACK, default on)."""
+    return os.environ.get("AQPC_PACK", "1") != "0"
+
+
 def discover_files(input_path) -> list[Path]:
     """File or flat directory listing with extension filter (main.rs:29-57).
     Also accepts an explicit sequence of file paths (distributed manifest
@@ -180,6 +209,7 @@ def run_query(
     workers: int = 8,
     prefetch: int = 12,
     keep_hits: bool = False,
+    force_collect: bool = False,
     keep_going: bool = False,
     use_index: bool = True,
     print_stream=None,
@@ -295,8 +325,11 @@ def run_query(
                     )
 
     # keep_hits asks for materialized points, so it forces the collect path
-    # even when the plan itself would only count
-    if plan.collects_points or keep_hits:
+    # even when the plan itself would only count; force_collect exercises
+    # the collect machinery (compaction, emit ordering, cap ratchets) with a
+    # count-only emitter — used by paper-scale validation runs where
+    # materializing >2^31 hits would be pointless IO
+    if plan.collects_points or keep_hits or force_collect:
         result = _run_collect(
             plan, files, readers, active, file_bounds, grid,
             block_size=block_size, impl=impl, n_devices=n_devices,
@@ -428,16 +461,40 @@ def _run_count(
             th, tl = predicate.encode_f64_sortable(gps)
             return {"th": th, "tl": tl}
     elif is_bounds:
+        pack = _pack_transport_enabled()
+
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
             collector = index_collectors.get(file_idx)
             if collector is not None:
                 collector.update(start, pos)
-            return {
-                "x": np.ascontiguousarray(pos[:, 0]),
-                "y": np.ascontiguousarray(pos[:, 1]),
-                "z": np.ascontiguousarray(pos[:, 2]),
-            }
+            if not pack:
+                return {
+                    "x": np.ascontiguousarray(pos[:, 0]),
+                    "y": np.ascontiguousarray(pos[:, 1]),
+                    "z": np.ascontiguousarray(pos[:, 2]),
+                }
+            # packed transport: k-bit residual streams vs per-block base
+            # (residualization runs here, in the feeder worker threads;
+            # plane extraction happens at stack time, pooled)
+            cols = {}
+            base = np.zeros(3, np.int64)
+            w = np.empty(3, np.int64)
+            for a, key in enumerate(("xp", "yp", "zp")):
+                col = np.ascontiguousarray(pos[:, a])
+                mn = int(col.min())
+                k = predicate.bits_width(int(col.max()) - mn)
+                if k >= 32 or block_size % 8:
+                    k = ((k + 7) // 8) * 8  # byte-round when bit planes
+                    # can't be laid out (B % 8 != 0) or width is full
+                if k >= 32:
+                    k, mn = 32, 0
+                cols[key] = col
+                base[a] = mn
+                w[a] = k
+            cols["base"] = base
+            cols["w"] = w
+            return cols
     else:
         def load(file_idx, start, stop):
             return {
@@ -466,7 +523,32 @@ def _run_count(
         rows = ((len(batch) + d - 1) // d) * d
         pad = rows - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
-        if is_bounds:
+        if is_bounds and pack:
+            i32 = np.iinfo(np.int32)
+            wmax = np.maximum.reduce([t.columns["w"] for t in batch])
+            # residual-space bounds: saturating i64->i32 clip is exact
+            # because residuals live in [0, 2^24) whenever width < 4
+            lo_rows = [
+                np.clip(t.lo.astype(np.int64) - t.columns["base"], i32.min, i32.max)
+                .astype(np.int32)
+                for t in batch
+            ] + [np.zeros(3, np.int32)] * pad
+            hi_rows = [
+                np.clip(t.hi.astype(np.int64) - t.columns["base"], i32.min, i32.max)
+                .astype(np.int32)
+                for t in batch
+            ] + [np.full(3, -1, np.int32)] * pad
+            xs = _stack_planes(batch, "xp", 0, rows, int(wmax[0]), block_size)
+            ys = _stack_planes(batch, "yp", 1, rows, int(wmax[1]), block_size)
+            zs = _stack_planes(batch, "zp", 2, rows, int(wmax[2]), block_size)
+            pending.append(
+                mesh_mod.sharded_bbox_count_packed(
+                    mesh, xs, ys, zs, np.stack(lo_rows), np.stack(hi_rows),
+                    nvs, (int(wmax[0]), int(wmax[1]), int(wmax[2])),
+                    block_size,
+                )
+            )
+        elif is_bounds:
             xs = _stack_rows(batch, "x", rows, block_size, np.int32)
             ys = _stack_rows(batch, "y", rows, block_size, np.int32)
             zs = _stack_rows(batch, "z", rows, block_size, np.int32)
@@ -625,17 +707,39 @@ def _run_collect_mesh(
             emit_queue[i].append(("scan",))
             tasks.append((i, b, start, stop))
 
+    pack = is_bounds and _pack_transport_enabled()
     if is_bounds:
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
             collector = index_collectors.get(file_idx)
             if collector is not None:
                 collector.update(start, pos)
-            return {
-                "x": np.ascontiguousarray(pos[:, 0]),
-                "y": np.ascontiguousarray(pos[:, 1]),
-                "z": np.ascontiguousarray(pos[:, 2]),
-            }
+            if not pack:
+                return {
+                    "x": np.ascontiguousarray(pos[:, 0]),
+                    "y": np.ascontiguousarray(pos[:, 1]),
+                    "z": np.ascontiguousarray(pos[:, 2]),
+                }
+            # packed transport (see _run_count): residuals only — retries
+            # re-test in residual space, and hit ATTRIBUTES are gathered
+            # from the readers by index, so raw coords are never needed
+            cols = {}
+            base = np.zeros(3, np.int64)
+            w = np.empty(3, np.int64)
+            for a, key in enumerate(("xp", "yp", "zp")):
+                col = np.ascontiguousarray(pos[:, a])
+                mn = int(col.min())
+                k = predicate.bits_width(int(col.max()) - mn)
+                if k >= 32 or block_size % 8:
+                    k = ((k + 7) // 8) * 8
+                if k >= 32:
+                    k, mn = 32, 0
+                cols[key] = col
+                base[a] = mn
+                w[a] = k
+            cols["base"] = base
+            cols["w"] = w
+            return cols
     elif is_time:
         def load(file_idx, start, stop):
             gps = readers[file_idx].column("gps_time", start, stop)
@@ -653,6 +757,15 @@ def _run_collect_mesh(
         tasks, load, block_size,
         file_bounds=file_bounds, workers=workers, prefetch=prefetch, pad=False,
     )
+
+    def packed_bounds(task):
+        """Residual-space (lo, hi) for one packed block (saturating i32)."""
+        i32 = np.iinfo(np.int32)
+        lo = np.clip(task.lo.astype(np.int64) - task.columns["base"],
+                     i32.min, i32.max).astype(np.int32)
+        hi = np.clip(task.hi.astype(np.int64) - task.columns["base"],
+                     i32.min, i32.max).astype(np.int32)
+        return lo, hi
 
     # Hit-index buffer cap per block. counts come back exact regardless, so
     # overflow is detected, retried at the right power-of-two bucket, and
@@ -694,7 +807,16 @@ def _run_collect_mesh(
         # pad to the engine block so retries reuse one compiled shape per cap
         cap2 = compact.pow2_bucket(count, block_size)
         nv = jnp.asarray(task.n_valid, jnp.int32)
-        if kind == "bbox":
+        if kind == "bbox" and pack:
+            # packed loads keep the raw columns (under xp/yp/zp), so the
+            # retry re-tests them directly against the original bounds
+            idx2 = compact.bbox_compact(
+                jnp.asarray(pad_to(task.columns["xp"], block_size)),
+                jnp.asarray(pad_to(task.columns["yp"], block_size)),
+                jnp.asarray(pad_to(task.columns["zp"], block_size)),
+                jnp.asarray(task.lo), jnp.asarray(task.hi), nv, cap=cap2,
+            )
+        elif kind == "bbox":
             idx2 = compact.bbox_compact(
                 jnp.asarray(pad_to(task.columns["x"], block_size)),
                 jnp.asarray(pad_to(task.columns["y"], block_size)),
@@ -721,7 +843,22 @@ def _run_collect_mesh(
         rows = ((len(batch) + d - 1) // d) * d
         pad = rows - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
-        if kind == "bbox":
+        step_kind = kind
+        step_extra = ()
+        if kind == "bbox" and pack:
+            wmax = np.maximum.reduce([t.columns["w"] for t in batch])
+            pbounds = [packed_bounds(t) for t in batch]
+            arrays = (
+                _stack_planes(batch, "xp", 0, rows, int(wmax[0]), block_size),
+                _stack_planes(batch, "yp", 1, rows, int(wmax[1]), block_size),
+                _stack_planes(batch, "zp", 2, rows, int(wmax[2]), block_size),
+                np.stack([b[0] for b in pbounds] + [np.zeros(3, np.int32)] * pad),
+                np.stack([b[1] for b in pbounds] + [np.full(3, -1, np.int32)] * pad),
+                nvs,
+            )
+            step_kind = "bbox_packed"
+            step_extra = ((int(wmax[0]), int(wmax[1]), int(wmax[2])), block_size)
+        elif kind == "bbox":
             arrays = (
                 _stack_rows(batch, "x", rows, block_size, np.int32),
                 _stack_rows(batch, "y", rows, block_size, np.int32),
@@ -743,7 +880,9 @@ def _run_collect_mesh(
                 np.full(rows, plan.classification.classification, np.int32),
                 nvs,
             )
-        counts_dev, idx_dev = mesh_mod.sharded_collect(mesh, kind, arrays, cap)
+        counts_dev, idx_dev = mesh_mod.sharded_collect(
+            mesh, step_kind, arrays, cap, step_extra
+        )
         pending.append((batch, counts_dev, idx_dev, cap))
         drain(current_inflight() - 1)
 

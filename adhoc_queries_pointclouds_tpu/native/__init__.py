@@ -135,6 +135,10 @@ def load() -> ctypes.CDLL | None:
         lib.aqpc_format_points.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.aqpc_pack_bits.restype = None
+        lib.aqpc_pack_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -208,3 +212,18 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 
         return py_xxh32(data, seed)
     return int(lib.aqpc_xxh32(data, len(data), seed))
+
+
+def pack_bits(col_i32: np.ndarray, base: int, k: int, out_row: np.ndarray,
+              block_size: int) -> bool:
+    """Single-pass native bit-plane packer (ops/predicate.py layout).
+    Returns False if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    assert col_i32.dtype == np.int32 and col_i32.flags.c_contiguous
+    assert out_row.dtype == np.uint8
+    lib.aqpc_pack_bits(
+        col_i32.ctypes.data_as(ctypes.c_void_p), len(col_i32), base, k,
+        out_row.ctypes.data_as(ctypes.c_void_p), block_size)
+    return True

@@ -487,4 +487,29 @@ int64_t aqpc_format_points(const double* pos,       // (n, 3) world xyz
   return total;
 }
 
+// Bit-planar packed coordinate transport (ops/predicate.py): one pass over
+// the int32 column emits k//8 byte planes (at p*B) plus k%8 bit planes
+// (little bit order, at nbytes*B + q*(B/8)) of the residual (col - base).
+// k == 32 requires base == 0 (raw two's-complement bytes). Replaces ~k/4
+// strided numpy passes on the single-core host.
+void aqpc_pack_bits(const int32_t* col, int64_t n, int64_t base, int k,
+                    uint8_t* out, int64_t block_size) {
+  const int nbytes = k / 8;
+  const int nbits = k % 8;
+  const int64_t bb = block_size / 8;
+  uint8_t* const bit_base = out + (int64_t)nbytes * block_size;
+  for (int64_t i0 = 0; i0 < n; i0 += 8) {
+    uint8_t acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    const int m = (int)((n - i0 < 8) ? (n - i0) : 8);
+    for (int j = 0; j < m; j++) {
+      const uint32_t r = (uint32_t)((int64_t)col[i0 + j] - base);
+      for (int p = 0; p < nbytes; p++)
+        out[(int64_t)p * block_size + i0 + j] = (uint8_t)(r >> (8 * p));
+      for (int q = 0; q < nbits; q++)
+        acc[q] |= (uint8_t)(((r >> (8 * nbytes + q)) & 1u) << j);
+    }
+    for (int q = 0; q < nbits; q++) bit_base[(int64_t)q * bb + i0 / 8] = acc[q];
+  }
+}
+
 }  // extern "C"

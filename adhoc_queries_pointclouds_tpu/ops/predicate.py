@@ -381,6 +381,285 @@ def class_count_pallas_multi(cls, targets, nvs):
 
 
 # ---------------------------------------------------------------------------
+# Bit-planar packed coordinate transport (H2D diet). End-to-end streaming is
+# host->device-link-bound (12 B/pt of raw int32 xyz), but most blocks span
+# far less than 32 bits per axis: the host ships each axis as the EXACT
+# k-bit residual against a per-block base (k = bit_length(max - min)),
+# laid out as k//8 byte planes plus k%8 bit planes (np.packbits, little
+# bit order) — e.g. a 20-bit axis costs 2.5 B/pt instead of 4. The device
+# reconstructs with astype+shift+or, purely elementwise, no gathers, then
+# runs the same closed-box compare against residual-space bounds
+# (lo - base, hi - base). Exactness is untouched: r in [lo-base, hi-base]
+# <=> x in [lo, hi] in i64, residuals fit int32 for k <= 31, and k == 32
+# ships the raw two's-complement bytes with base 0. Because every plane is
+# extracted from the full u32 residual, blocks of different native widths
+# stack into one step at the step's max width with no re-packing — the
+# higher planes of narrow blocks are simply zero. This applies the
+# reference hot loop's byte economy (query/src/search/las.rs:101-119) to
+# the transport link instead of RAM.
+#
+# Layout per axis: one (K, nbytes*B + nbits*(B//8)) u8 array; byte plane p
+# of block k at [k, p*B:(p+1)*B), bit plane q at
+# [k, nbytes*B + q*(B//8) : ...). B % 8 == 0 whenever nbits > 0.
+# ---------------------------------------------------------------------------
+
+
+def bits_width(rng_i64) -> int:
+    """Residual bits needed for a non-negative int range (max - min)."""
+    return max(int(rng_i64).bit_length(), 0)
+
+
+def residual_u32(col_i32, k: int, base: int):
+    """int32 column -> u32 residual stream for a k-bit packing."""
+    import numpy as np
+
+    if k >= 32:
+        assert base == 0
+        return np.ascontiguousarray(col_i32, np.int32).view(np.uint32)
+    return (col_i32.astype(np.int64) - base).astype(np.uint32)
+
+
+def pack_bits_into(out_row, col_i32, k: int, base: int, block_size: int) -> None:
+    """Write the k-bit planes of (col - base) into one stacked row.
+
+    out_row: (nbytes*B + nbits*(B//8),) u8 slice of the step operand; col
+    may be shorter than B (ragged tail: trailing plane bytes are left
+    unwritten — every kernel masks by n_valid). Uses the single-pass native
+    packer when available (the numpy path is ~k/4 strided passes)."""
+    import numpy as np
+
+    from ..native import pack_bits as native_pack_bits
+
+    col = np.ascontiguousarray(col_i32, np.int32)
+    if out_row.flags.c_contiguous and native_pack_bits(
+        col, base, k, out_row, block_size
+    ):
+        return
+    r_u32 = residual_u32(col, k, base)
+    nbytes, nbits = k // 8, k % 8
+    n = r_u32.shape[0]
+    for p in range(nbytes):
+        out_row[p * block_size : p * block_size + n] = (
+            r_u32 >> np.uint32(8 * p)
+        ).astype(np.uint8)
+    if nbits:
+        off = nbytes * block_size
+        bb = block_size // 8
+        nb = (n + 7) // 8
+        for q in range(nbits):
+            out_row[off + q * bb : off + q * bb + nb] = np.packbits(
+                ((r_u32 >> np.uint32(8 * nbytes + q)) & np.uint32(1)).astype(
+                    np.uint8
+                ),
+                bitorder="little",
+            )
+
+
+def packed_row_width(k: int, block_size: int) -> int:
+    return (k // 8) * block_size + (k % 8) * (block_size // 8)
+
+
+def unpack_bits_jnp(packed, k: int, block_size: int):
+    """(K, nbytes*B + nbits*(B//8)) u8 -> (K, B) int32 residuals (device)."""
+    rows = packed.shape[0]
+    nbytes, nbits = k // 8, k % 8
+    r = jnp.zeros((rows, block_size), jnp.int32)
+    for p in range(nbytes):
+        plane = packed[:, p * block_size : (p + 1) * block_size]
+        r = r | (plane.astype(jnp.int32) << (8 * p))
+    if nbits:
+        off = nbytes * block_size
+        bb = block_size // 8
+        shifts = jnp.arange(8, dtype=jnp.int32)
+        for q in range(nbits):
+            bp = packed[:, off + q * bb : off + (q + 1) * bb].astype(jnp.int32)
+            bits = (bp[:, :, None] >> shifts) & 1  # little bit order
+            r = r | (bits.reshape(rows, block_size) << (8 * nbytes + q))
+    return r
+
+
+def bbox_count_packed_jnp_multi(xp, yp, zp, los, his, nvs, widths, block_size):
+    """Packed-transport bbox count. widths: static (kx, ky, kz) bit tuple;
+    los/his are residual-space per-block bounds (already base-shifted)."""
+    xs = unpack_bits_jnp(xp, widths[0], block_size)
+    ys = unpack_bits_jnp(yp, widths[1], block_size)
+    zs = unpack_bits_jnp(zp, widths[2], block_size)
+    return bbox_count_jnp_multi(xs, ys, zs, los, his, nvs)
+
+
+def bbox_mask_packed_jnp_multi(xp, yp, zp, los, his, nvs, widths, block_size):
+    xs = unpack_bits_jnp(xp, widths[0], block_size)
+    ys = unpack_bits_jnp(yp, widths[1], block_size)
+    zs = unpack_bits_jnp(zp, widths[2], block_size)
+    return bbox_mask_jnp_multi(xs, ys, zs, los, his, nvs)
+
+
+# ---------------------------------------------------------------------------
+# 4x-packed class kernels: the u8 classification column viewed as int32
+# words, 4 points per element. The unpacked scan is element-rate-bound on
+# the VPU (the 1 B/pt column runs at the same elements/s as the 12 B/pt
+# bbox scan), so testing 4 bytes per lane raises points-per-element 4x
+# without touching more bytes. Per word: XOR with the 4x-replicated target
+# (matching bytes become zero), then the carry-free exact zero-byte test
+#   t = ~(((v & 0x7F7F7F7F) + 0x7F7F7F7F) | v | 0x7F7F7F7F)
+# (0x80 at each zero byte; no cross-byte carries, unlike the classic
+# (v-0x01010101)&~v&0x80808080 which false-positives above a zero byte),
+# and the byte-sum multiply (ones * 0x01010101) >> 24. The n_valid tail is
+# masked per byte: the last partial word keeps only its low (little-endian)
+# valid bytes. This is the TPU lift of the reference's 1 B/pt class-scan
+# showcase (query/src/search/last.rs:253-291).
+# ---------------------------------------------------------------------------
+
+_REP = 0x01010101
+_LOW7 = 0x7F7F7F7F
+
+
+def pack_class_words(cls_u8):
+    """Host-side zero-copy view: (.., B) u8 -> (.., B//4) int32 words (LE)."""
+    import numpy as np
+
+    assert cls_u8.dtype == np.uint8 and cls_u8.shape[-1] % 4 == 0
+    return cls_u8.view(np.int32)
+
+
+def _packed_match_ones(w_u32, rep_u32):
+    """uint32 words -> uint32 with 0x01 at each byte equal to the target."""
+    v = w_u32 ^ rep_u32
+    t = ~(((v & _LOW7) + _LOW7) | v | _LOW7)
+    return t >> 7
+
+
+def _packed_keep(nv, word_idx):
+    """uint32 mask with 0x01 at each byte position < n_valid (LE order)."""
+    c = jnp.clip(nv - 4 * word_idx, 0, 4)
+    s = ((4 - c) * 4).astype(jnp.uint32)
+    return (jnp.uint32(_REP) >> s) >> s  # two <=16-bit shifts: never >= 32
+
+
+def class_count_packed_jnp(words, class_value, n_valid):
+    """words: (W,) int32 = the (4W,) u8 class column viewed little-endian."""
+    w = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    rep = class_value.astype(jnp.uint32) * jnp.uint32(_REP)
+    ones = _packed_match_ones(w, rep)
+    widx = jax.lax.iota(jnp.int32, words.shape[0])
+    ones &= _packed_keep(jnp.asarray(n_valid, jnp.int32), widx)
+    per_word = ((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32)
+    return jnp.sum(per_word, dtype=jnp.int32)
+
+
+def class_count_packed_jnp_multi(words, targets, nvs):
+    """(K, W) int32 words + (K,) targets/valid-counts -> (K,) counts."""
+    w = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    rep = (targets.astype(jnp.uint32) * jnp.uint32(_REP))[:, None]
+    ones = _packed_match_ones(w, rep)
+    widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+    ones &= _packed_keep(nvs.astype(jnp.int32)[:, None], widx)
+    per_word = ((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32)
+    return jnp.sum(per_word, axis=1, dtype=jnp.int32)
+
+
+def _class_packed_kernel(target_ref, nvalid_ref, w_ref, out_ref):
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    widx = (i * TILE_ROWS + row) * LANES + col
+    w = jax.lax.bitcast_convert_type(w_ref[:], jnp.uint32)
+    rep = target_ref[0].astype(jnp.uint32) * jnp.uint32(_REP)
+    ones = _packed_match_ones(w, rep)
+    ones &= _packed_keep(nvalid_ref[0], widx)
+    partial = jnp.sum(((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32),
+                      dtype=jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = partial
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[0, 0] += partial
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def class_count_packed_pallas(words, class_value, n_valid, *, interpret: bool = False):
+    """words: (W,) int32, W tile-aligned (block of 4W points)."""
+    w_n = words.shape[0]
+    assert w_n % (TILE_ROWS * LANES) == 0, f"word count {w_n} not tile-aligned"
+    rows = w_n // LANES
+    grid = rows // TILE_ROWS
+    target = jnp.asarray(class_value, jnp.int32).reshape(1)
+    nvalid = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    w2 = words.reshape(rows, LANES)
+    total = pl.pallas_call(
+        _class_packed_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((TILE_ROWS, LANES), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * w_n, bytes_accessed=4 * w_n + 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(target, nvalid, w2)
+    return total[0, 0]
+
+
+def _class_packed_multi_kernel(targets_ref, nvalid_ref, w_ref, out_ref):
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    widx = (j * TILE_ROWS + row) * LANES + col
+    w = jax.lax.bitcast_convert_type(w_ref[0], jnp.uint32)
+    rep = targets_ref[k].astype(jnp.uint32) * jnp.uint32(_REP)
+    ones = _packed_match_ones(w, rep)
+    ones &= _packed_keep(nvalid_ref[k], widx)
+    partial = jnp.sum(((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32),
+                      dtype=jnp.int32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[k, 0] = partial
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[k, 0] += partial
+
+
+@jax.jit
+def class_count_packed_pallas_multi(words, targets, nvs):
+    """(K, W) int32 words with per-block targets -> (K,) counts."""
+    k_blocks, w_n = words.shape
+    assert w_n % (TILE_ROWS * LANES) == 0, f"word count {w_n} not tile-aligned"
+    rows = w_n // LANES
+    tiles = rows // TILE_ROWS
+    w3 = words.reshape(k_blocks, rows, LANES)
+    out = pl.pallas_call(
+        _class_packed_multi_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(k_blocks, tiles),
+            in_specs=[
+                pl.BlockSpec((1, TILE_ROWS, LANES), lambda k, j, *_: (k, j, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_blocks, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * k_blocks * w_n, bytes_accessed=4 * k_blocks * w_n,
+            transcendentals=0,
+        ),
+    )(targets.astype(jnp.int32), nvs.astype(jnp.int32), w3)
+    return out[:, 0]
+
+
+# ---------------------------------------------------------------------------
 # dispatching wrappers with one-shot autotuning
 # ---------------------------------------------------------------------------
 

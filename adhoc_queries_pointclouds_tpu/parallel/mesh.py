@@ -92,6 +92,54 @@ def _class_count_fn(mesh: Mesh, impl: str):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _bbox_count_packed_fn(mesh: Mesh, widths: tuple, block_size: int):
+    def per_device(xp, yp, zp, lo, hi, nv):
+        counts = predicate.bbox_count_packed_jnp_multi(
+            xp, yp, zp, lo, hi, nv, widths, block_size
+        )
+        return jax.lax.psum(jnp.sum(counts, dtype=jnp.int32), "d")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("d", None),) * 5 + (P("d"),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_bbox_count_packed(mesh: Mesh, xp, yp, zp, los, his, nvalids,
+                              widths, block_size: int):
+    """Bit-planar packed-transport bbox count over D*K blocks. xp/yp/zp:
+    (D*K, k//8*B + k%8*(B//8)) u8 plane stacks; los/his residual-space
+    bounds; widths a static (kx, ky, kz) bit tuple (one compiled variant
+    per width combo)."""
+    return _bbox_count_packed_fn(mesh, tuple(widths), block_size)(
+        xp, yp, zp, los, his, nvalids
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _class_count_packed_fn(mesh: Mesh, impl: str):
+    def per_device(words, target, nv):
+        if impl == "pallas":
+            counts = predicate.class_count_packed_pallas_multi(words, target, nv)
+        else:
+            counts = predicate.class_count_packed_jnp_multi(words, target, nv)
+        return jax.lax.psum(jnp.sum(counts, dtype=jnp.int32), "d")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d"), P("d")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=8)
 def _time_count_fn(mesh: Mesh):
     def per_device(ths, tls, qs, nv):
@@ -125,10 +173,20 @@ def sharded_time_count(mesh: Mesh, ths, tls, qs, nvalids):
 
 
 @functools.lru_cache(maxsize=64)
-def _collect_fn(mesh: Mesh, kind: str, cap: int):
+def _collect_fn(mesh: Mesh, kind: str, cap: int, extra: tuple = ()):
     from ..ops import compact
 
-    if kind == "bbox":
+    if kind == "bbox_packed":
+        widths, block_size = extra
+
+        def per_device(xp, yp, zp, los, his, nv):
+            mask = predicate.bbox_mask_packed_jnp_multi(
+                xp, yp, zp, los, his, nv, widths, block_size
+            )
+            return compact.masked_collect_multi(mask, cap=cap)
+
+        in_specs = (P("d", None),) * 5 + (P("d"),)
+    elif kind == "bbox":
         def per_device(xs, ys, zs, los, his, nv):
             mask = predicate.bbox_mask_jnp_multi(xs, ys, zs, los, his, nv)
             return compact.masked_collect_multi(mask, cap=cap)
@@ -159,13 +217,15 @@ def _collect_fn(mesh: Mesh, kind: str, cap: int):
     return jax.jit(fn)
 
 
-def sharded_collect(mesh: Mesh, kind: str, arrays: tuple, cap: int):
+def sharded_collect(mesh: Mesh, kind: str, arrays: tuple, cap: int,
+                    extra: tuple = ()):
     """Run the fused predicate+compaction step over D*K stacked blocks.
 
-    arrays: the per-kind operand tuple (see _collect_fn). Returns
+    arrays: the per-kind operand tuple (see _collect_fn); extra: static
+    config for packed kinds ((kx, ky, kz), block_size). Returns
     (counts (D*K,) int32, indices (D*K, cap) int32 padded with block size).
     """
-    return _collect_fn(mesh, kind, cap)(*arrays)
+    return _collect_fn(mesh, kind, cap, extra)(*arrays)
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +295,20 @@ def sharded_bbox_count(mesh: Mesh, xs, ys, zs, los, his, nvalids, impl: str = "a
 
 
 def sharded_class_count(mesh: Mesh, clss, targets, nvalids, impl: str = "auto"):
+    import numpy as np
+
+    # 4x-packed path: view the host u8 column as int32 words (zero-copy) so
+    # the device tests 4 points per VPU lane — the unpacked scan is
+    # element-rate-bound, not byte-bound. Same bytes cross the link.
+    if isinstance(clss, np.ndarray) and clss.dtype == np.uint8 and clss.shape[-1] % 4 == 0:
+        words = predicate.pack_class_words(clss)
+        if impl == "auto":
+            w = words.shape[-1]
+            if jax.default_backend() == "tpu" and w % predicate.MIN_BLOCK_MULTIPLE == 0:
+                impl = predicate.autotune_impl()
+            else:
+                impl = "jnp"
+        return _class_count_packed_fn(mesh, impl)(words, targets, nvalids)
     if impl == "auto":
         impl = _block_impl(clss)
     return _class_count_fn(mesh, impl)(clss, targets, nvalids)

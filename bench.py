@@ -210,15 +210,53 @@ def device_scan(x, y, z, lo, hi) -> float:
         global _CLASS_PPS
         _CLASS_PPS = len(x) / dt
         log(
-            f"class scan: {_CLASS_PPS / 1e6:.1f} Mpts/s "
+            f"class scan [unpacked]: {_CLASS_PPS / 1e6:.1f} Mpts/s "
             f"({_CLASS_PPS / 1e9:.2f} GB/s of u8 reads)"
         )
     except Exception as e:
         log(f"class scan measure failed: {e}")
+
+    # 4x-packed class scan: same bytes viewed as int32 words, 4 points per
+    # VPU lane — lifts the element-rate bound of the unpacked u8 scan
+    try:
+        dwords = jax.lax.bitcast_convert_type(
+            dcls.reshape(-1, 4), jnp.int32
+        )
+        jax.block_until_ready(dwords)
+        nv32 = jnp.asarray(n, jnp.int32)
+
+        def one_packed(t):
+            if on_tpu:
+                return predicate.class_count_packed_pallas(dwords, t, nv32)
+            return predicate.class_count_packed_jnp(dwords, t, nv32)
+
+        @jax.jit
+        def multi_packed(t0):
+            def body(k, acc):
+                return acc + one_packed(t0 + k)
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+        chk_packed = int(multi_packed(jnp.int32(1)))
+        chk_unpacked = int(multi_cls(jnp.int32(1)))
+        assert chk_packed == chk_unpacked, (chk_packed, chk_unpacked)
+        t0 = time.perf_counter()
+        int(multi_packed(jnp.int32(2)))
+        dt = (time.perf_counter() - t0) / ITERS
+        global _CLASS_PACKED_PPS
+        _CLASS_PACKED_PPS = len(x) / dt
+        log(
+            f"class scan [packed x4]: {_CLASS_PACKED_PPS / 1e6:.1f} Mpts/s "
+            f"({_CLASS_PACKED_PPS / 1e9:.2f} GB/s of u8 reads, "
+            f"{_CLASS_PACKED_PPS / max(_CLASS_PPS, 1):.2f}x unpacked)"
+        )
+    except Exception as e:
+        log(f"packed class scan measure failed: {e}")
     return best
 
 
 _CLASS_PPS = 0.0
+_CLASS_PACKED_PPS = 0.0
 
 
 def roofline() -> dict:
@@ -312,18 +350,43 @@ def end_to_end(tmpdir: Path) -> dict:
         )
     box = AABB((100200.0, 200300.0, 10.0), (103400.0, 200800.0, 60.0))
     plan = QueryPlan(bounds=BoundsQuery(box))
-    res = run_query(ds, plan, use_index=False)  # warm (compile + page cache)
-    t0 = time.perf_counter()
-    res = run_query(ds, plan, use_index=False)
-    dt = time.perf_counter() - t0
+
+    def timed_count(label):
+        res = run_query(ds, plan, use_index=False)  # warm (compile + cache)
+        t0 = time.perf_counter()
+        res = run_query(ds, plan, use_index=False)
+        dt = time.perf_counter() - t0
+        return res, dt
+
+    # packed transport (byte-planar residuals, the default) vs raw int32:
+    # the same link carries ~3-9 B/pt instead of 12
+    prev_pack = os.environ.get("AQPC_PACK")
+    os.environ["AQPC_PACK"] = "0"
+    try:
+        res_u, dt_u = timed_count("unpacked")
+    finally:
+        if prev_pack is None:
+            os.environ.pop("AQPC_PACK", None)
+        else:
+            os.environ["AQPC_PACK"] = prev_pack
+    res, dt = timed_count("packed")
+    assert res.match_count == res_u.match_count, (res.match_count, res_u.match_count)
     mpts = total_pts / dt / 1e6
+    mpts_u = total_pts / dt_u / 1e6
     mibs = res.total_file_bytes / dt / 1048576.0
     log(
         f"end-to-end streaming: {res.match_count} hits over {total_pts / 1e6:.0f} Mpts "
         f"in {dt:.2f}s = {mpts:.1f} Mpts/s ({mibs:.0f} MiB/s of file bytes; "
-        f"bounded by the h2d roofline — 12 B/point must cross the link)"
+        f"packed transport, {mpts / max(mpts_u, 1e-9):.2f}x over raw-int32 "
+        f"{mpts_u:.1f} Mpts/s — the link is the roofline)"
     )
-    out = {"e2e_mpts": round(mpts, 1), "e2e_mibs": round(mibs, 1)}
+    out = {
+        "e2e_mpts": round(mpts, 1),
+        "e2e_mibs": round(mibs, 1),
+        "e2e_packed_mpts": round(mpts, 1),
+        "e2e_unpacked_mpts": round(mpts_u, 1),
+        "e2e_packed_speedup": round(mpts / max(mpts_u, 1e-9), 2),
+    }
     if time.monotonic() > _deadline():
         log("budget exhausted; skipping collect/density e2e")
         return out
@@ -454,8 +517,11 @@ def main() -> None:
     extras["kernel_mpts"] = round(device_pps / 1e6, 1)
     extras["kernel_gbs"] = round(device_pps * 12 / 1e9, 1)
     if _CLASS_PPS:
-        extras["kernel_class_mpts"] = round(_CLASS_PPS / 1e6, 1)
-        extras["kernel_class_gbs"] = round(_CLASS_PPS / 1e9, 2)
+        extras["kernel_class_unpacked_mpts"] = round(_CLASS_PPS / 1e6, 1)
+    best_class = max(_CLASS_PPS, _CLASS_PACKED_PPS)
+    if best_class:
+        extras["kernel_class_mpts"] = round(best_class / 1e6, 1)
+        extras["kernel_class_gbs"] = round(best_class / 1e9, 2)
     if extras.get("roofline_reduce_gbs"):
         extras["kernel_pct_of_reduce"] = round(
             100.0 * extras["kernel_gbs"] / extras["roofline_reduce_gbs"], 1

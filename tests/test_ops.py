@@ -452,3 +452,247 @@ class TestGpsTimeEncoding:
         )
         oracle = (t >= 250_000.0) & (t < 600_000.0)
         np.testing.assert_array_equal(got, oracle)
+
+
+class TestPackedClassKernels:
+    """4x-packed class scan: u8 column viewed as int32 words, exact-match
+    byte test per word (predicate.py packed kernels)."""
+
+    def test_all_256_class_values(self):
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        rng = np.random.default_rng(40)
+        n = 4096
+        cls = rng.integers(0, 256, n).astype(np.uint8)
+        words = jnp.asarray(P.pack_class_words(cls))
+        nv = jnp.asarray(n, jnp.int32)
+        for target in range(256):
+            got = int(P.class_count_packed_jnp(words, jnp.asarray(target), nv))
+            assert got == int(np.sum(cls == target)), f"class {target}"
+
+    def test_every_tail_alignment(self):
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        rng = np.random.default_rng(41)
+        n = 512
+        # padding bytes equal to the target: they must never be counted
+        cls = np.full(n, 6, np.uint8)
+        cls[: n // 2] = rng.integers(0, 8, n // 2).astype(np.uint8)
+        words = jnp.asarray(P.pack_class_words(cls))
+        for nv in range(0, n + 1):
+            got = int(P.class_count_packed_jnp(words, jnp.asarray(6),
+                                               jnp.asarray(nv, jnp.int32)))
+            assert got == int(np.sum(cls[:nv] == 6)), f"n_valid {nv}"
+
+    def test_zero_byte_trick_has_no_borrow_false_positives(self):
+        # adjacent (0, 1) byte pairs are exactly where the classic
+        # (v-REP)&~v&HI formula false-positives; the carry-free form must not
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        cls = np.array(
+            [0, 1, 0, 1, 1, 0, 1, 0, 0, 0, 1, 1, 255, 0, 128, 1], np.uint8
+        )
+        words = jnp.asarray(P.pack_class_words(cls))
+        nv = jnp.asarray(len(cls), jnp.int32)
+        for target in (0, 1, 128, 255):
+            got = int(P.class_count_packed_jnp(words, jnp.asarray(target), nv))
+            assert got == int(np.sum(cls == target)), f"class {target}"
+
+    def test_packed_multi_vs_unpacked(self):
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        rng = np.random.default_rng(42)
+        K, B = 4, 8192
+        cls = rng.integers(0, 256, (K, B)).astype(np.uint8)
+        targets = np.array([0, 6, 255, 77], np.int32)
+        nvs = np.array([B, B - 1, B - 3, 1], np.int32)
+        ref = np.asarray(P.class_count_jnp_multi(
+            jnp.asarray(cls), jnp.asarray(targets), jnp.asarray(nvs)))
+        got = np.asarray(P.class_count_packed_jnp_multi(
+            jnp.asarray(P.pack_class_words(cls)), jnp.asarray(targets),
+            jnp.asarray(nvs)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_packed_pallas_interpret(self):
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        rng = np.random.default_rng(43)
+        K = 2
+        B = 4 * P.MIN_BLOCK_MULTIPLE  # one word-tile per block
+        cls = rng.integers(0, 256, (K, B)).astype(np.uint8)
+        targets = np.array([6, 0], np.int32)
+        nvs = np.array([B, B - 999], np.int32)
+        words = P.pack_class_words(cls)
+        ref = np.asarray(P.class_count_packed_jnp_multi(
+            jnp.asarray(words), jnp.asarray(targets), jnp.asarray(nvs)))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(P.class_count_packed_pallas_multi(
+                jnp.asarray(words), jnp.asarray(targets), jnp.asarray(nvs)))
+            single = int(P.class_count_packed_pallas(
+                jnp.asarray(words[0]), jnp.asarray(6),
+                jnp.asarray(nvs[0], jnp.int32)))
+        np.testing.assert_array_equal(got, ref)
+        assert single == ref[0]
+        for k in range(K):
+            assert ref[k] == int(np.sum(cls[k, : nvs[k]] == targets[k]))
+
+    def test_sharded_class_count_packs(self, monkeypatch):
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+        from adhoc_queries_pointclouds_tpu.parallel import mesh as M
+
+        rng = np.random.default_rng(44)
+        mesh = M.make_mesh()
+        d = mesh.devices.size
+        B = 4096
+        cls = rng.integers(0, 256, (d, B)).astype(np.uint8)
+        targets = np.full(d, 6, np.int32)
+        nvs = np.asarray([B - k for k in range(d)], np.int32)
+        got = int(M.sharded_class_count(mesh, cls, targets, nvs))
+        oracle = sum(int(np.sum(cls[k, : nvs[k]] == 6)) for k in range(d))
+        assert got == oracle
+
+
+class TestPackedTransport:
+    """Bit-planar packed coordinate transport (predicate.pack_bits_into /
+    unpack_bits_jnp / bbox_count_packed_jnp_multi)."""
+
+    def _roundtrip(self, col, block_size=None):
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        n = col.shape[0]
+        B = block_size or n
+        mn, mx = int(col.min()), int(col.max())
+        k = P.bits_width(mx - mn)
+        base = mn
+        if k >= 32:
+            k, base = 32, 0
+        row = np.zeros(P.packed_row_width(k, B), np.uint8)
+        P.pack_bits_into(row, col, k, base, B)
+        back = np.asarray(P.unpack_bits_jnp(jnp.asarray(row[None, :]), k, B))[0, :n]
+        return back.astype(np.int64) + base if k < 32 else back, k
+
+    def test_roundtrip_every_width(self):
+        rng = np.random.default_rng(50)
+        for k_target in range(0, 33):
+            lo = -(1 << max(k_target - 1, 0))
+            hi = lo + (1 << k_target) - 1
+            if k_target == 32:
+                lo, hi = -(2**31), 2**31 - 1
+            col = rng.integers(lo, int(hi) + 1, 512, dtype=np.int64).astype(np.int32)
+            col[0], col[1] = lo, hi  # force the full range
+            back, k = self._roundtrip(col)
+            assert k == k_target or (k_target == 0 and k == 0), (k_target, k)
+            np.testing.assert_array_equal(back, col.astype(np.int64))
+
+    def test_roundtrip_ragged_tail(self):
+        rng = np.random.default_rng(51)
+        col = rng.integers(0, 1 << 20, 1000).astype(np.int32)
+        back, k = self._roundtrip(col, block_size=1024)
+        np.testing.assert_array_equal(back[:1000], col.astype(np.int64))
+
+    def test_full_range_int32_exact(self):
+        rng = np.random.default_rng(52)
+        col = rng.integers(-(2**31), 2**31, 4096, dtype=np.int64).astype(np.int32)
+        col[:2] = [np.iinfo(np.int32).min, np.iinfo(np.int32).max]
+        back, k = self._roundtrip(col)
+        assert k == 32
+        np.testing.assert_array_equal(back, col)
+
+    def test_packed_count_matches_unpacked(self):
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        rng = np.random.default_rng(53)
+        K, B = 4, 4096
+        i32 = np.iinfo(np.int32)
+        # one narrow block, one medium, one odd-bit-width, one full-range:
+        # all stacked into one step at the max width
+        ranges = [(0, 250), (-30_000, 30_000), (0, (1 << 21) - 5), (i32.min, i32.max)]
+        cols = {a: np.empty((K, B), np.int32) for a in "xyz"}
+        bases = np.zeros((K, 3), np.int64)
+        widths = np.zeros((K, 3), np.int64)
+        for k, (lo, hi) in enumerate(ranges):
+            for a_i, a in enumerate("xyz"):
+                c = rng.integers(lo, int(hi) + 1, B, dtype=np.int64).astype(np.int32)
+                cols[a][k] = c
+                mn = int(c.min())
+                kb = P.bits_width(int(c.max()) - mn)
+                if kb >= 32:
+                    kb, mn = 32, 0
+                widths[k, a_i] = kb
+                bases[k, a_i] = mn
+        wmax = widths.max(axis=0).astype(int)
+        stacked = {}
+        for a_i, a in enumerate("xyz"):
+            kstep = int(wmax[a_i])
+            out = np.zeros((K, P.packed_row_width(kstep, B)), np.uint8)
+            for k in range(K):
+                P.pack_bits_into(out[k], cols[a][k], kstep,
+                                 int(bases[k, a_i]), B)
+            stacked[a] = out
+        los = np.tile(np.array([100, -5000, 0], np.int32), (K, 1))
+        his = np.tile(np.array([1 << 20, 5000, i32.max], np.int32), (K, 1))
+        nvs = np.array([B, B - 1, B // 2, B], np.int32)
+        ref = np.asarray(P.bbox_count_jnp_multi(
+            jnp.asarray(cols["x"]), jnp.asarray(cols["y"]), jnp.asarray(cols["z"]),
+            jnp.asarray(los), jnp.asarray(his), jnp.asarray(nvs)))
+        plos = np.clip(los.astype(np.int64) - bases, i32.min, i32.max).astype(np.int32)
+        phis = np.clip(his.astype(np.int64) - bases, i32.min, i32.max).astype(np.int32)
+        got = np.asarray(P.bbox_count_packed_jnp_multi(
+            jnp.asarray(stacked["x"]), jnp.asarray(stacked["y"]),
+            jnp.asarray(stacked["z"]), jnp.asarray(plos), jnp.asarray(phis),
+            jnp.asarray(nvs), tuple(int(w) for w in wmax), B))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_engine_packed_vs_unpacked_counts(self, tmp_path, monkeypatch):
+        from adhoc_queries_pointclouds_tpu.engine import run_query
+        from adhoc_queries_pointclouds_tpu.formats import synth
+        from adhoc_queries_pointclouds_tpu.models.query import BoundsQuery, QueryPlan
+        from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+        synth.write_dataset(tmp_path, n_files=2, points_per_file=30_000,
+                            seed=53, formats=("last",))
+        box = AABB((100200.0, 200300.0, 10.0), (101500.0, 200800.0, 60.0))
+        plan = QueryPlan(bounds=BoundsQuery(box))
+        monkeypatch.setenv("AQPC_PACK", "0")
+        unpacked = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+        monkeypatch.setenv("AQPC_PACK", "1")
+        packed = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+        assert packed == unpacked > 0
+
+    def test_native_packer_matches_numpy(self):
+        from adhoc_queries_pointclouds_tpu import native
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        if not native.available():
+            import pytest
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(54)
+        B = 1024
+        for k, lo, hi in [(0, 5, 5), (7, 0, 100), (8, 0, 255), (13, 0, 8000),
+                          (20, -500_000, 500_000), (31, -(2**30), 2**30 - 7),
+                          (32, -(2**31), 2**31 - 1)]:
+            col = rng.integers(lo, int(hi) + 1, 1000, dtype=np.int64).astype(np.int32)
+            base = 0 if k == 32 else int(col.min())
+            kk = P.bits_width(int(col.max()) - int(col.min())) if k < 32 else 32
+            row_native = np.zeros(P.packed_row_width(kk, B), np.uint8)
+            assert native.pack_bits(col, base, kk, row_native, B)
+            row_numpy = np.zeros_like(row_native)
+            r = P.residual_u32(col, kk, base)
+            nbytes, nbits = kk // 8, kk % 8
+            for p in range(nbytes):
+                row_numpy[p * B : p * B + 1000] = (r >> np.uint32(8 * p)).astype(np.uint8)
+            for q in range(nbits):
+                off = nbytes * B + q * (B // 8)
+                row_numpy[off : off + 125] = np.packbits(
+                    ((r >> np.uint32(8 * nbytes + q)) & np.uint32(1)).astype(np.uint8),
+                    bitorder="little")
+            np.testing.assert_array_equal(row_native, row_numpy, err_msg=f"k={kk}")
