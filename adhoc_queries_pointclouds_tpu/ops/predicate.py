@@ -529,6 +529,18 @@ def _packed_match_ones(w_u32, rep_u32):
     return t >> 7
 
 
+def _byte_sum(ones_u32):
+    """Sum the four 0..1 byte fields -> int32 per word (0..4).
+
+    Shift-add chain instead of the classic `(ones * 0x01010101) >> 24`:
+    int32 multiply is a multi-op sequence on the TPU VPU and measurably
+    slowed the packed kernel below the unpacked one (tools/bboxprobe.py).
+    Byte sums stay < 8 so no cross-byte carries occur."""
+    t = ones_u32 + (ones_u32 >> 16)
+    t = t + (t >> 8)
+    return (t & jnp.uint32(0xFF)).astype(jnp.int32)
+
+
 def _packed_keep(nv, word_idx):
     """uint32 mask with 0x01 at each byte position < n_valid (LE order)."""
     c = jnp.clip(nv - 4 * word_idx, 0, 4)
@@ -543,8 +555,7 @@ def class_count_packed_jnp(words, class_value, n_valid):
     ones = _packed_match_ones(w, rep)
     widx = jax.lax.iota(jnp.int32, words.shape[0])
     ones &= _packed_keep(jnp.asarray(n_valid, jnp.int32), widx)
-    per_word = ((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32)
-    return jnp.sum(per_word, dtype=jnp.int32)
+    return jnp.sum(_byte_sum(ones), dtype=jnp.int32)
 
 
 def class_count_packed_jnp_multi(words, targets, nvs):
@@ -554,8 +565,7 @@ def class_count_packed_jnp_multi(words, targets, nvs):
     ones = _packed_match_ones(w, rep)
     widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
     ones &= _packed_keep(nvs.astype(jnp.int32)[:, None], widx)
-    per_word = ((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32)
-    return jnp.sum(per_word, axis=1, dtype=jnp.int32)
+    return jnp.sum(_byte_sum(ones), axis=1, dtype=jnp.int32)
 
 
 def _class_packed_kernel(target_ref, nvalid_ref, w_ref, out_ref):
@@ -567,8 +577,7 @@ def _class_packed_kernel(target_ref, nvalid_ref, w_ref, out_ref):
     rep = target_ref[0].astype(jnp.uint32) * jnp.uint32(_REP)
     ones = _packed_match_ones(w, rep)
     ones &= _packed_keep(nvalid_ref[0], widx)
-    partial = jnp.sum(((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32),
-                      dtype=jnp.int32)
+    partial = jnp.sum(_byte_sum(ones), dtype=jnp.int32)
 
     @pl.when(i == 0)
     def _():
@@ -619,8 +628,7 @@ def _class_packed_multi_kernel(targets_ref, nvalid_ref, w_ref, out_ref):
     rep = targets_ref[k].astype(jnp.uint32) * jnp.uint32(_REP)
     ones = _packed_match_ones(w, rep)
     ones &= _packed_keep(nvalid_ref[k], widx)
-    partial = jnp.sum(((ones * jnp.uint32(_REP)) >> 24).astype(jnp.int32),
-                      dtype=jnp.int32)
+    partial = jnp.sum(_byte_sum(ones), dtype=jnp.int32)
 
     @pl.when(j == 0)
     def _():
