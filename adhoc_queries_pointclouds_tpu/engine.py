@@ -24,6 +24,7 @@ CLI semantics (main.rs:29-57, 238-244, 253-259, 309-316).
 from __future__ import annotations
 
 import dataclasses
+import gc
 import os
 from pathlib import Path
 
@@ -142,6 +143,60 @@ def _stack_planes(batch, key: str, axis: int, rows: int, k_bits: int,
         for j in range(len(batch)):
             fill(j)
     return out
+
+
+_GC_EVERY = int(os.environ.get("AQPC_GC_STEPS", "4"))
+_gc_steps = 0
+_libc = None
+
+
+def _init_malloc() -> None:
+    """Pin glibc's mmap threshold so multi-MB block buffers never graduate
+    into sbrk arenas.
+
+    glibc's M_MMAP_THRESHOLD is DYNAMIC: freeing an mmap'd chunk raises the
+    threshold (up to 32 MiB), after which the engine's 4-24 MiB per-block
+    column copies are carved from arena heaps whose freed chunks are kept,
+    not returned — anonymous RSS then grows with bytes scanned (observed
+    ~7 B/pt; a 2.24 B-pt run retained >30 GiB). Pinning the threshold at
+    1 MiB keeps every block-sized buffer an mmap that free() returns to the
+    OS. AQPC_MALLOC_PIN=0 disables."""
+    global _libc
+    if os.environ.get("AQPC_MALLOC_PIN", "1") == "0":
+        return
+    try:
+        import ctypes
+
+        _libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        _libc.mallopt(M_MMAP_THRESHOLD, 1 << 20)
+    except Exception:
+        _libc = None
+
+
+_init_malloc()
+
+
+def _gc_tick() -> None:
+    """Periodic FULL gc + malloc_trim across device-step dispatches.
+
+    jax.Array objects created per step (np -> device transfers and results)
+    sit in reference cycles that only a generational collection frees, and
+    CPython's gc triggers on OBJECT counts — a streaming scan allocates few
+    but enormous buffers per step, so collection lags by several steps.
+    Gen-0/1 passes are not enough (the cycles age into gen-2), hence a full
+    collect every AQPC_GC_STEPS steps (default 4; 0 disables), followed by
+    a malloc_trim(0) to hand freed arena pages back to the OS (see
+    _init_malloc for the allocator half of the story)."""
+    global _gc_steps
+    _gc_steps += 1
+    if _GC_EVERY > 0 and _gc_steps % _GC_EVERY == 0:
+        gc.collect()
+        if _libc is not None:
+            try:
+                _libc.malloc_trim(0)
+            except Exception:
+                pass
 
 
 def _pack_transport_enabled() -> bool:
@@ -483,10 +538,16 @@ def _run_count(
             for a, key in enumerate(("xp", "yp", "zp")):
                 col = np.ascontiguousarray(pos[:, a])
                 mn = int(col.min())
-                k = predicate.bits_width(int(col.max()) - mn)
-                if k >= 32 or block_size % 8:
-                    k = ((k + 7) // 8) * 8  # byte-round when bit planes
-                    # can't be laid out (B % 8 != 0) or width is full
+                # Byte-rounded widths ALWAYS (8/16/24/32, not exact k):
+                # the per-step (kx, ky, kz) tuple is a jit static arg, and
+                # every distinct combo compiles a fresh executable whose
+                # XLA:CPU temp workspace (~100s of MB at 2M-pt blocks) is
+                # retained for the life of the process — exact-bit widths
+                # produced a new combo every few files and anonymous RSS
+                # grew without bound on long scans. Byte planes cap the
+                # combos at 4 per axis, pack/unpack with no packbits pass,
+                # and cost ~10% more link bytes than exact k.
+                k = (predicate.bits_width(int(col.max()) - mn) + 7) // 8 * 8
                 if k >= 32:
                     k, mn = 32, 0
                 cols[key] = col
@@ -516,6 +577,7 @@ def _run_count(
         nonlocal total
         while len(pending) > limit:
             total += int(pending.pop(0))
+        _gc_tick()
 
     def flush(batch):
         # size the step to the batch (rounded up to the mesh) so short
@@ -955,6 +1017,7 @@ def _run_collect_mesh(
     def drain(limit: int):
         while len(pending) > limit:
             process(*pending.popleft())
+        _gc_tick()
 
     with timer.stage("scan"):
         try:
@@ -1201,6 +1264,7 @@ def _run_density(
             def drain(limit: int):
                 while len(pending) > limit:
                     process(*pending.popleft())
+                _gc_tick()
 
             batch = []
             for task in feeder:

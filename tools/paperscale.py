@@ -70,27 +70,42 @@ def partial_box(n_files: int):
 
 
 class RssTracker:
+    """Tracks peak anonymous RSS (the leak-relevant number) and peak total
+    VmRSS separately: VmRSS also counts mmap'd FILE pages, which the kernel
+    reclaims under pressure — on a 42 GB dataset the page cache legitimately
+    dominates VmRSS while the engine's own footprint stays flat."""
+
     def __init__(self):
-        self.peak = 0
+        self.peak_anon = 0
+        self.peak_total = 0
         self._stop = False
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
 
     def _sample(self):
+        anon = total = 0
         for line in open("/proc/self/status"):
             if line.startswith("VmRSS:"):
-                return int(line.split()[1]) * 1024
-        return 0
+                total = int(line.split()[1]) * 1024
+            elif line.startswith("RssAnon:"):
+                anon = int(line.split()[1]) * 1024
+        return anon, total
 
     def _loop(self):
         while not self._stop:
-            self.peak = max(self.peak, self._sample())
+            anon, total = self._sample()
+            self.peak_anon = max(self.peak_anon, anon)
+            self.peak_total = max(self.peak_total, total)
             time.sleep(0.5)
+
+    @property
+    def peak(self) -> int:
+        return self.peak_anon
 
     def stop(self) -> int:
         self._stop = True
         self._t.join(timeout=2)
-        return self.peak
+        return self.peak_anon
 
 
 def file_paths(root: Path, n_files: int) -> list[Path]:
@@ -169,7 +184,7 @@ def run(root: Path, n_files: int, out_json: Path | None) -> int:
         mpts = truth["points"] / dt / 1e6
         print(f"{label}: {res.match_count} (expect {expect}) "
               f"{'OK' if ok else 'MISMATCH'} in {dt:.0f}s = {mpts:.1f} Mpts/s "
-              f"(peak RSS {rss.peak / 2**30:.1f} GiB)", flush=True)
+              f"(peak anon RSS {rss.peak_anon / 2**30:.1f} GiB)", flush=True)
         report[label] = {"count": res.match_count, "expect": expect, "ok": ok,
                          "seconds": round(dt, 1), "mpts": round(mpts, 1)}
         return ok
@@ -185,9 +200,12 @@ def run(root: Path, n_files: int, out_json: Path | None) -> int:
     # partial-match collect at scale: real per-block compaction + cap ratchets
     ok &= one("collect_partial", QueryPlan(bounds=BoundsQuery(partial_box(n_files))),
               truth["partial"], force_collect=True)
-    report["peak_rss_gib"] = round(rss.stop() / 2**30, 2)
+    report["peak_anon_rss_gib"] = round(rss.stop() / 2**30, 2)
+    report["peak_total_rss_gib"] = round(rss.peak_total / 2**30, 2)
     report["pass"] = bool(ok)
-    print(("PASS" if ok else "FAIL") + f" — peak RSS {report['peak_rss_gib']} GiB",
+    print(("PASS" if ok else "FAIL")
+          + f" — peak anon RSS {report['peak_anon_rss_gib']} GiB"
+          + f" (total incl. page cache {report['peak_total_rss_gib']} GiB)",
           flush=True)
     if out_json:
         out_json.write_text(json.dumps(report, indent=2))
