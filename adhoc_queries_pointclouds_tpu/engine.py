@@ -538,16 +538,18 @@ def _run_count(
             for a, key in enumerate(("xp", "yp", "zp")):
                 col = np.ascontiguousarray(pos[:, a])
                 mn = int(col.min())
-                # Byte-rounded widths ALWAYS (8/16/24/32, not exact k):
-                # the per-step (kx, ky, kz) tuple is a jit static arg, and
-                # every distinct combo compiles a fresh executable whose
-                # XLA:CPU temp workspace (~100s of MB at 2M-pt blocks) is
-                # retained for the life of the process — exact-bit widths
-                # produced a new combo every few files and anonymous RSS
-                # grew without bound on long scans. Byte planes cap the
-                # combos at 4 per axis, pack/unpack with no packbits pass,
-                # and cost ~10% more link bytes than exact k.
-                k = (predicate.bits_width(int(col.max()) - mn) + 7) // 8 * 8
+                # Nibble-rounded widths (multiples of 4, not exact k): the
+                # per-step (kx, ky, kz) tuple is a jit static arg, so every
+                # distinct combo costs one compile (30-40 s over the
+                # tunnel, disk-cached after) plus a retained executable
+                # workspace — exact-bit widths produce a fresh combo every
+                # few files on heterogeneous data. Rounding to 4-bit planes
+                # caps combos at 8 per axis for <= 3 bits/axis (~0.4 B/pt)
+                # of extra link bytes.
+                k = (predicate.bits_width(int(col.max()) - mn) + 3) // 4 * 4
+                if k >= 32 or block_size % 8:
+                    k = min((k + 7) // 8 * 8, 32)  # byte planes only when
+                    # bit planes can't be laid out (B % 8 != 0)
                 if k >= 32:
                     k, mn = 32, 0
                 cols[key] = col
