@@ -435,3 +435,33 @@ class TestEverythingAtOnce:
             written += back.point_count
             back.close()
         assert written == oracle
+
+
+class TestHostMemoryBounded:
+    """Regression guard for the round-3 host-memory work (engine._gc_tick +
+    _init_malloc): anonymous RSS must not grow with scanned bytes. A broken
+    gc tick leaks ~10 B per scanned point (jax.Array cycles + glibc arena
+    growth), which at this test's 12.6M scanned points would add ~120 MiB;
+    the bound below allows ample jit/runtime noise but fails on a real
+    per-point leak. (The tunneled-TPU plugin's per-transfer retention is an
+    environment bug outside this guard — tests run on CPU.)"""
+
+    def test_anon_rss_flat_across_repeat_scans(self, dataset):
+        def anon_mib():
+            for line in open("/proc/self/status"):
+                if line.startswith("RssAnon:"):
+                    return int(line.split()[1]) / 1024
+            pytest.skip("RssAnon unavailable on this kernel")
+
+        root, files = dataset
+        plan = QueryPlan(bounds=BoundsQuery(QUERY_BOX))
+        oracle = oracle_bbox_count(files["last"], QUERY_BOX)
+        # warm: jit compiles + allocator high-water
+        assert run_query(root / "last", plan, block_size=BLOCK,
+                         use_index=False).match_count == oracle
+        base = anon_mib()
+        for _ in range(6):
+            assert run_query(root / "last", plan, block_size=BLOCK,
+                             use_index=False).match_count == oracle
+        grown = anon_mib() - base
+        assert grown < 100, f"anonymous RSS grew {grown:.0f} MiB over 6 scans"
