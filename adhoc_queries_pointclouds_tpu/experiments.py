@@ -63,16 +63,20 @@ EXPERIMENT_DATASETS = {1: "navvis3", 2: "doc", 3: "ca13", 4: "doc", 5: "ca13"}
 
 def reset_page_cache(dataset_path=None) -> None:
     """Cold-cache protocol (run_query_experiments.rs:8-27; Linux analog of
-    the reference's macOS sync+purge). Without root, falls back to
-    posix_fadvise(DONTNEED) on every dataset file — evicting exactly the
-    pages the next run would otherwise hit warm."""
+    the reference's macOS sync+purge). With a dataset path, evicts exactly
+    the dataset's pages via posix_fadvise(DONTNEED) — what the measurement
+    needs cold — rather than `drop_caches=3`, which also evicts the Python
+    toolchain (~700 MB of jaxlib) and turns every subprocess start into
+    minutes of cold library reads that measure the disk, not the engine.
+    Whole-cache drop (root) remains the fallback when no path is given."""
     subprocess.run(["sync"], check=True)
-    try:
-        with open("/proc/sys/vm/drop_caches", "w") as f:
-            f.write("3\n")
-        return
-    except PermissionError:
-        pass
+    if dataset_path is None:
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+            return
+        except PermissionError:
+            pass
     if dataset_path is None:
         print(
             "warning: cannot drop page caches (need root); runs are warm-cache",
