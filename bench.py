@@ -35,9 +35,14 @@ from pathlib import Path
 
 import numpy as np
 
-# 8M points per scan: large enough to dwarf dispatch overhead, small enough
-# to keep device interactions short on a flaky tunnel
+# Host-side baseline size: large enough for a stable NumPy number.
 N_POINTS = 8 * 1024 * 1024
+# Device-resident kernel measurement size: the per-dispatch floor on this
+# backend is ~2-4 ms (tools/bboxprobe.py), so small scans measure the floor,
+# not the kernel — 8M under-reported the kernel ~3x in round 3. 64M
+# amortizes the floor below ~10% of scan time. Data is generated on device,
+# so the tunnel link never sees these bytes.
+KERNEL_POINTS = int(os.environ.get("AQPC_BENCH_KERNEL_PTS", str(64 * 1024 * 1024)))
 WARMUP = 3
 ITERS = 10
 
@@ -129,28 +134,32 @@ def device_scan(x, y, z, lo, hi) -> float:
     # throughput measurement doesn't need host data. Same distribution as
     # the numpy baseline, so selectivity matches.
     t0 = time.perf_counter()
+    n_pts = KERNEL_POINTS if on_tpu else len(x)
     key = jax.random.PRNGKey(0)
     kx, ky, kz = jax.random.split(key, 3)
-    shape = (len(x),)
+    shape = (n_pts,)
     dx = jax.random.randint(kx, shape, -(2**30), 2**30, dtype=jnp.int32)
     dy = jax.random.randint(ky, shape, -(2**30), 2**30, dtype=jnp.int32)
     dz = jax.random.randint(kz, shape, -(2**30), 2**30, dtype=jnp.int32)
     dlo = jax.device_put(lo)
     dhi = jax.device_put(hi)
-    n = jnp.asarray(len(x), jnp.int32)
+    n = jnp.asarray(n_pts, jnp.int32)
     jax.block_until_ready([dx, dy, dz, dlo, dhi])
     log(f"device data generated in {time.perf_counter() - t0:.1f}s")
 
+    # NOTE: the big arrays ride as jit ARGUMENTS — closing over them bakes
+    # them into the program as constants, which the tunneled remote-compile
+    # endpoint must upload (and rejects above ~100 MB with HTTP 413).
     def make_multi(impl):
-        def one(hi_k):
+        def one(a, b, c, hi_k):
             if impl == "pallas":
-                return predicate.bbox_count_pallas(dx, dy, dz, dlo, hi_k, n)
-            return predicate.bbox_count_jnp(dx, dy, dz, dlo, hi_k, n)
+                return predicate.bbox_count_pallas(a, b, c, dlo, hi_k, n)
+            return predicate.bbox_count_jnp(a, b, c, dlo, hi_k, n)
 
         @jax.jit
-        def multi(hi0):
+        def multi(a, b, c, hi0):
             def body(k, acc):
-                return acc + one(hi0 + k)
+                return acc + one(a, b, c, hi0 + k)
 
             return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
@@ -158,12 +167,12 @@ def device_scan(x, y, z, lo, hi) -> float:
 
     def measure(impl):
         multi = make_multi(impl)
-        int(multi(dhi))  # warm (compile); int() forces real completion —
-        # block_until_ready can return early on this backend
+        int(multi(dx, dy, dz, dhi))  # warm (compile); int() forces real
+        # completion — block_until_ready can return early on this backend
         t0 = time.perf_counter()
-        total = int(multi(dhi + 1))
+        total = int(multi(dx, dy, dz, dhi + 1))
         dt = (time.perf_counter() - t0) / ITERS
-        return len(x) / dt, total
+        return n_pts / dt, total
 
     candidates = ["jnp", "pallas"] if on_tpu else ["jnp"]
     best = 0.0
@@ -191,24 +200,24 @@ def device_scan(x, y, z, lo, hi) -> float:
         ).astype(jnp.uint8)
         jax.block_until_ready(dcls)
 
-        def one_cls(t):
+        def one_cls(c, t):
             if on_tpu:
-                return predicate.class_count_pallas(dcls, t, n)
-            return predicate.class_count_jnp(dcls, t, n)
+                return predicate.class_count_pallas(c, t, n)
+            return predicate.class_count_jnp(c, t, n)
 
         @jax.jit
-        def multi_cls(t0):
+        def multi_cls(c, t0):
             def body(k, acc):
-                return acc + one_cls(t0 + k)
+                return acc + one_cls(c, t0 + k)
 
             return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        int(multi_cls(jnp.int32(1)))
+        int(multi_cls(dcls, jnp.int32(1)))
         t0 = time.perf_counter()
-        int(multi_cls(jnp.int32(2)))
+        int(multi_cls(dcls, jnp.int32(2)))
         dt = (time.perf_counter() - t0) / ITERS
         global _CLASS_PPS
-        _CLASS_PPS = len(x) / dt
+        _CLASS_PPS = n_pts / dt
         log(
             f"class scan [unpacked]: {_CLASS_PPS / 1e6:.1f} Mpts/s "
             f"({_CLASS_PPS / 1e9:.2f} GB/s of u8 reads)"
@@ -225,26 +234,26 @@ def device_scan(x, y, z, lo, hi) -> float:
         jax.block_until_ready(dwords)
         nv32 = jnp.asarray(n, jnp.int32)
 
-        def one_packed(t):
+        def one_packed(w, t):
             if on_tpu:
-                return predicate.class_count_packed_pallas(dwords, t, nv32)
-            return predicate.class_count_packed_jnp(dwords, t, nv32)
+                return predicate.class_count_packed_pallas(w, t, nv32)
+            return predicate.class_count_packed_jnp(w, t, nv32)
 
         @jax.jit
-        def multi_packed(t0):
+        def multi_packed(w, t0):
             def body(k, acc):
-                return acc + one_packed(t0 + k)
+                return acc + one_packed(w, t0 + k)
 
             return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-        chk_packed = int(multi_packed(jnp.int32(1)))
-        chk_unpacked = int(multi_cls(jnp.int32(1)))
+        chk_packed = int(multi_packed(dwords, jnp.int32(1)))
+        chk_unpacked = int(multi_cls(dcls, jnp.int32(1)))
         assert chk_packed == chk_unpacked, (chk_packed, chk_unpacked)
         t0 = time.perf_counter()
-        int(multi_packed(jnp.int32(2)))
+        int(multi_packed(dwords, jnp.int32(2)))
         dt = (time.perf_counter() - t0) / ITERS
         global _CLASS_PACKED_PPS
-        _CLASS_PACKED_PPS = len(x) / dt
+        _CLASS_PACKED_PPS = n_pts / dt
         log(
             f"class scan [packed x4]: {_CLASS_PACKED_PPS / 1e6:.1f} Mpts/s "
             f"({_CLASS_PACKED_PPS / 1e9:.2f} GB/s of u8 reads, "
