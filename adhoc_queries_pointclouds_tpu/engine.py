@@ -590,8 +590,10 @@ def _run_count(
         if is_bounds and pack:
             i32 = np.iinfo(np.int32)
             wmax = np.maximum.reduce([t.columns["w"] for t in batch])
-            # residual-space bounds: saturating i64->i32 clip is exact
-            # because residuals live in [0, 2^24) whenever width < 4
+            # residual-space bounds: the saturating i64->i32 clip is
+            # exact because sub-32 widths are capped at 28 bits (residuals
+            # < 2^28 never collide with a saturated bound) and k == 32
+            # forces base = 0 (bounds pass through unclipped)
             lo_rows = [
                 np.clip(t.lo.astype(np.int64) - t.columns["base"], i32.min, i32.max)
                 .astype(np.int32)
@@ -793,9 +795,12 @@ def _run_collect_mesh(
             for a, key in enumerate(("xp", "yp", "zp")):
                 col = np.ascontiguousarray(pos[:, a])
                 mn = int(col.min())
-                k = predicate.bits_width(int(col.max()) - mn)
+                # Same nibble rounding as the count path: bounds the jit
+                # -specialization count AND caps sub-32 widths at 28 bits,
+                # which packed_bounds' clip-exactness proof requires.
+                k = (predicate.bits_width(int(col.max()) - mn) + 3) // 4 * 4
                 if k >= 32 or block_size % 8:
-                    k = ((k + 7) // 8) * 8
+                    k = min((k + 7) // 8 * 8, 32)
                 if k >= 32:
                     k, mn = 32, 0
                 cols[key] = col
@@ -823,7 +828,14 @@ def _run_collect_mesh(
     )
 
     def packed_bounds(task):
-        """Residual-space (lo, hi) for one packed block (saturating i32)."""
+        """Residual-space (lo, hi) for one packed block.
+
+        The i64->i32 clip is exact under the width rule above: sub-32
+        widths are <= 28 bits, so residuals stay < 2^28 and can never
+        equal a saturated bound (+-2^31-ish); k == 32 forces base = 0, so
+        lo/hi pass through unclipped. (With exact per-block widths a k=31
+        block could produce residual 2^31-1 == the saturated lo and count
+        a point below the box — caught by review, fixed by the cap.)"""
         i32 = np.iinfo(np.int32)
         lo = np.clip(task.lo.astype(np.int64) - task.columns["base"],
                      i32.min, i32.max).astype(np.int32)

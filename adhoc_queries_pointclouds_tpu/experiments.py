@@ -74,14 +74,11 @@ def reset_page_cache(dataset_path=None) -> None:
         try:
             with open("/proc/sys/vm/drop_caches", "w") as f:
                 f.write("3\n")
-            return
         except PermissionError:
-            pass
-    if dataset_path is None:
-        print(
-            "warning: cannot drop page caches (need root); runs are warm-cache",
-            file=sys.stderr,
-        )
+            print(
+                "warning: cannot drop page caches (need root); runs are warm-cache",
+                file=sys.stderr,
+            )
         return
     import os
     from pathlib import Path

@@ -16,6 +16,7 @@
 #include <cstddef>
 #include <cstdio>
 #include <cmath>
+#include <limits>
 #include <vector>
 
 extern "C" {
@@ -446,6 +447,13 @@ int64_t aqpc_format_points(const double* pos,       // (n, 3) world xyz
       s += w;
       if (a < 2) { *s++ = ','; *s++ = ' '; }
     }
+    // Python's f"{v:.3f}" prints "nan" for BOTH nan signs; glibc %.3f
+    // prints "-nan" for a sign-bit nan — normalize so the byte-identity
+    // contract with the Python fallback holds even for garbage inputs.
+    double px = pos[i * 3], py = pos[i * 3 + 1], pz = pos[i * 3 + 2];
+    if (px != px) px = std::numeric_limits<double>::quiet_NaN();
+    if (py != py) py = std::numeric_limits<double>::quiet_NaN();
+    if (pz != pz) pz = std::numeric_limits<double>::quiet_NaN();
     int len;
     if (ok) {
       std::memcpy(s, ") class=", 8); s += 8;
@@ -462,7 +470,7 @@ int64_t aqpc_format_points(const double* pos,       // (n, 3) world xyz
       len = snprintf(line, sizeof(line),
                      "Found point: (%.3f, %.3f, %.3f) class=%u rgb=(%u, %u, %u) "
                      "intensity=%u\n",
-                     pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2],
+                     px, py, pz,
                      (unsigned)cls[i], (unsigned)rgb[i * 3],
                      (unsigned)rgb[i * 3 + 1], (unsigned)rgb[i * 3 + 2],
                      (unsigned)intensity[i]);
@@ -473,7 +481,7 @@ int64_t aqpc_format_points(const double* pos,       // (n, 3) world xyz
         snprintf(big.data(), big.size(),
                  "Found point: (%.3f, %.3f, %.3f) class=%u rgb=(%u, %u, %u) "
                  "intensity=%u\n",
-                 pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2], (unsigned)cls[i],
+                 px, py, pz, (unsigned)cls[i],
                  (unsigned)rgb[i * 3], (unsigned)rgb[i * 3 + 1],
                  (unsigned)rgb[i * 3 + 2], (unsigned)intensity[i]);
         if (total + len <= cap) std::memcpy(out + total, big.data(), (size_t)len);
@@ -490,7 +498,9 @@ int64_t aqpc_format_points(const double* pos,       // (n, 3) world xyz
 // Bit-planar packed coordinate transport (ops/predicate.py): one pass over
 // the int32 column emits k//8 byte planes (at p*B) plus k%8 bit planes
 // (little bit order, at nbytes*B + q*(B/8)) of the residual (col - base).
-// k == 32 requires base == 0 (raw two's-complement bytes). Replaces ~k/4
+// k == 32 with base == 0 ships raw two's-complement bytes; base != 0 at
+// k == 32 (a narrow block stacked into a 32-bit step) wraps mod 2^32,
+// matching ops/predicate.residual_u32. Replaces ~k/4
 // strided numpy passes on the single-core host.
 void aqpc_pack_bits(const int32_t* col, int64_t n, int64_t base, int k,
                     uint8_t* out, int64_t block_size) {

@@ -410,11 +410,17 @@ def bits_width(rng_i64) -> int:
 
 
 def residual_u32(col_i32, k: int, base: int):
-    """int32 column -> u32 residual stream for a k-bit packing."""
+    """int32 column -> u32 residual stream for a k-bit packing.
+
+    k == 32 with base == 0 ships the raw two's-complement words; k == 32
+    with base != 0 arises when a NARROW block is stacked into a 32-bit-wide
+    step (the engine forces base=0 whenever a block's own range needs 32
+    bits, so these residuals always stay < 2^31 and the device's signed
+    int32 compare remains exact). Mirrors the native packer's mod-2^32
+    arithmetic (aqpc_native.cpp aqpc_pack_bits)."""
     import numpy as np
 
-    if k >= 32:
-        assert base == 0
+    if k >= 32 and base == 0:
         return np.ascontiguousarray(col_i32, np.int32).view(np.uint32)
     return (col_i32.astype(np.int64) - base).astype(np.uint32)
 

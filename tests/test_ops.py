@@ -696,3 +696,59 @@ class TestPackedTransport:
                     ((r >> np.uint32(8 * nbytes + q)) & np.uint32(1)).astype(np.uint8),
                     bitorder="little")
             np.testing.assert_array_equal(row_native, row_numpy, err_msg=f"k={kk}")
+
+
+class TestPackedTransportReviewFindings:
+    """Regression tests for two round-3 code-review findings in the packed
+    transport: (a) the numpy-fallback packer rejected k=32 with base != 0 —
+    a narrow block stacked into a 32-bit-wide step; (b) exact per-block
+    widths let a k=31 residual collide with the saturating clip bound and
+    count a point OUTSIDE the box (engine now nibble-rounds widths, capping
+    sub-32 widths at 28 bits)."""
+
+    def test_numpy_fallback_packs_narrow_block_at_k32(self, monkeypatch):
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        # force the numpy fallback path
+        monkeypatch.setattr("adhoc_queries_pointclouds_tpu.native.pack_bits",
+                            lambda *a, **kw: False)
+        rng = np.random.default_rng(60)
+        base = 123_456
+        col = (rng.integers(0, 1 << 20, 512) + base).astype(np.int32)
+        B = 512
+        row = np.zeros(P.packed_row_width(32, B), np.uint8)
+        P.pack_bits_into(row, col, 32, base, B)  # raised AssertionError before
+        back = np.asarray(P.unpack_bits_jnp(jnp.asarray(row[None, :]), 32, B))[0]
+        np.testing.assert_array_equal(back.astype(np.int64),
+                                      col.astype(np.int64) - base)
+
+    def test_saturating_clip_cannot_false_match(self):
+        """The raw predicate-level repro of finding (b): a k=31 block whose
+        max residual equals the saturated lo bound. The engine's width rule
+        (nibble-round, 29-31 -> 32 with base 0) makes this state unreachable
+        from run_query; this documents WHY the clip is exact there."""
+        import jax.numpy as jnp
+        from adhoc_queries_pointclouds_tpu.ops import predicate as P
+
+        B = 512
+        base = -(2**30)
+        col = np.full(B, 2**30 - 1, np.int32)  # block range needs 31 bits
+        # engine width rule: bits_width(2^31-1)=31 -> nibble-round -> 32,
+        # base forced to 0; lo - base passes through UNclipped and no point
+        # can match a box strictly above the block max
+        k = (P.bits_width(int(col.max()) - base) + 3) // 4 * 4
+        if k >= 32:
+            k, base = 32, 0
+        assert k == 32 and base == 0
+        row = np.zeros(P.packed_row_width(k, B), np.uint8)
+        P.pack_bits_into(row, col, k, base, B)
+        lo = np.full((1, 3), 2**30, np.int64) - base  # just above block max
+        hi = np.full((1, 3), 2**31 - 1, np.int64) - base
+        i32 = np.iinfo(np.int32)
+        lo32 = np.clip(lo, i32.min, i32.max).astype(np.int32)
+        hi32 = np.clip(hi, i32.min, i32.max).astype(np.int32)
+        xp = jnp.asarray(row[None, :])
+        count = int(np.asarray(P.bbox_count_packed_jnp_multi(
+            xp, xp, xp, lo32, hi32, np.full(1, B, np.int32), (k, k, k), B))[0])
+        assert count == 0  # with exact k=31 widths this was 512

@@ -59,6 +59,7 @@ def test_format_points_adversarial_parity():
         0.0, -0.0, 1e13, -1e13, 9e12, float(np.nextafter(9e12, np.inf)),
         float("inf"), -float("inf"), float("nan"), 1e300, -1e300,
         5e-324, -5e-324, 2.5e-4, 0.0015, 0.0025, 1234567890123.456,
+        float(np.copysign(np.nan, -1.0)),  # sign-bit nan: glibc would print -nan
     ]
     rng = np.random.default_rng(7)
     vals += list(rng.random(3000) * 2e13 - 1e13)

@@ -145,19 +145,28 @@ def run_workers(data: Path, out_dir: Path, tmp: Path, timeout: float) -> list[di
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
         env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        # Worker output goes to a FILE, not a pipe: the two workers are
+        # coupled through gloo collectives, so sequentially draining pipes
+        # can deadlock (worker 1 blocks on a full 64 KiB pipe, worker 0
+        # blocks in a collective waiting for worker 1).
+        logf = open(tmp / f"worker_{pid}.log", "w+")
         p = subprocess.Popen(
             [sys.executable, "-c", WORKER_BODY, json.dumps(cfg)],
             env=env, cwd=str(REPO),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=logf, stderr=subprocess.STDOUT, text=True,
         )
-        procs.append((p, result))
-    for p, result in procs:
+        procs.append((p, result, logf))
+    for p, result, logf in procs:
         try:
-            out, _ = p.communicate(timeout=timeout)
+            p.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
-            for q, _ in procs:
+            for q, _, _ in procs:
                 q.kill()
             raise RuntimeError("distributed worker timed out")
+    for p, result, logf in procs:
+        logf.seek(0)
+        out = logf.read()
+        logf.close()
         if p.returncode != 0:
             raise RuntimeError(f"worker failed (rc={p.returncode}):\n{out[-4000:]}")
         results.append(json.loads(result.read_text()))
