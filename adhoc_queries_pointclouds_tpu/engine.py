@@ -145,7 +145,7 @@ def _stack_planes(batch, key: str, axis: int, rows: int, k_bits: int,
     return out
 
 
-_GC_EVERY = int(os.environ.get("AQPC_GC_STEPS", "4"))
+_GC_EVERY: int | None = None  # resolved on first tick (AQPC_GC_STEPS)
 _gc_steps = 0
 _libc = None
 
@@ -187,8 +187,11 @@ def _gc_tick() -> None:
     Gen-0/1 passes are not enough (the cycles age into gen-2), hence a full
     collect every AQPC_GC_STEPS steps (default 4; 0 disables), followed by
     a malloc_trim(0) to hand freed arena pages back to the OS (see
-    _init_malloc for the allocator half of the story)."""
-    global _gc_steps
+    _init_malloc for the allocator half of the story). AQPC_GC_STEPS is read
+    on the first tick (cached), like the other AQPC_* knobs — not at import."""
+    global _gc_steps, _GC_EVERY
+    if _GC_EVERY is None:
+        _GC_EVERY = int(os.environ.get("AQPC_GC_STEPS", "4"))
     _gc_steps += 1
     if _GC_EVERY > 0 and _gc_steps % _GC_EVERY == 0:
         gc.collect()

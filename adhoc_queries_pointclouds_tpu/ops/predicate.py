@@ -501,6 +501,89 @@ def bbox_mask_packed_jnp_multi(xp, yp, zp, los, his, nvs, widths, block_size):
 
 
 # ---------------------------------------------------------------------------
+# Packed-transport GPS-time kernels. The (hi, lo) int32 split encoding ships
+# 8 B/pt raw; on real flight-line data each block spans a narrow time range,
+# so the hi words are near-constant (a few residual bits against the block
+# min) and even the lo words often share high bits. Both columns ride the
+# same bit-planar packer as xyz; the lexicographic range compare runs in
+# residual space against per-block base-shifted (and saturating-clipped)
+# query words. Exactness argument is the bbox one applied per word: sub-32
+# widths are capped at 28 bits so residuals stay < 2^28 and never collide
+# with a saturated bound — this holds for the equality compares
+# (rth == qh') too, not just the orderings.
+# ---------------------------------------------------------------------------
+
+
+def time_count_packed_jnp_multi(thp, tlp, qs, nvs, widths, block_size):
+    """Packed-transport GPS-time count. widths: static (k_hi, k_lo) bits;
+    qs: (K, 4) residual-space encoded range (base-shifted, clipped)."""
+    ths = unpack_bits_jnp(thp, widths[0], block_size)
+    tls = unpack_bits_jnp(tlp, widths[1], block_size)
+    return time_count_jnp_multi(ths, tls, qs, nvs)
+
+
+def time_mask_packed_jnp_multi(thp, tlp, qs, nvs, widths, block_size):
+    ths = unpack_bits_jnp(thp, widths[0], block_size)
+    tls = unpack_bits_jnp(tlp, widths[1], block_size)
+    return time_mask_jnp_multi(ths, tls, qs, nvs)
+
+
+# ---------------------------------------------------------------------------
+# Per-block class-dictionary transport. Real files rarely use more than a
+# handful of ASPRS classes, so the 1 B/pt classification column (the
+# reference's LAST showcase, query/src/search/last.rs:253-291) still ships
+# 4-8x more entropy than it holds. The host builds a per-block dictionary
+# (the sorted set of distinct class values), remaps the column to dictionary
+# codes, and ships the codes as k-bit planes (k = bits for the largest
+# code, pow2-rounded): <= 16 classes ride at 4 bits (0.5 B/pt), <= 2 at
+# 1 bit. The device never decodes back to class values — it compares codes
+# against the target's code (host-computed; a miss uses len(dict), a code no
+# point carries, so the count is exactly 0). A single-class block packs to
+# k = 0: ZERO plane bytes cross the link and the compare degenerates to
+# 0 == tcode, i.e. all-match or all-miss decided by the target row alone.
+# ---------------------------------------------------------------------------
+
+
+def class_dict_encode(cls_u8):
+    """One block's u8 class column -> (present values sorted u8, codes u8).
+
+    codes[i] = index of cls_u8[i] in present (dense, 0-based). One bincount
+    pass + one 256-entry LUT gather — cheap next to the link bytes saved."""
+    import numpy as np
+
+    counts = np.bincount(cls_u8, minlength=256)
+    present = np.flatnonzero(counts).astype(np.uint8)
+    lut = np.zeros(256, np.uint8)
+    lut[present] = np.arange(len(present), dtype=np.uint8)
+    return present, lut[cls_u8]
+
+
+def class_dict_width(n_present: int, block_size: int) -> int:
+    """Plane bits for a dictionary of n_present entries: pow2-rounded so the
+    per-step static width takes few distinct values (each combo is one jit
+    specialization), byte-rounded when bit planes can't be laid out."""
+    k = bits_width(max(n_present - 1, 0))
+    if block_size % 8:
+        return 8 if k else 0
+    p = 1
+    while p < k:
+        p *= 2
+    return p
+
+
+def class_count_dict_jnp_multi(cp, targets, nvs, k, block_size):
+    """Dictionary-coded class count: (K, planes) u8 -> (K,) counts.
+    targets are per-block dictionary CODES (not class values)."""
+    codes = unpack_bits_jnp(cp, k, block_size)
+    return class_count_jnp_multi(codes, targets, nvs)
+
+
+def class_mask_dict_jnp_multi(cp, targets, nvs, k, block_size):
+    codes = unpack_bits_jnp(cp, k, block_size)
+    return class_mask_jnp_multi(codes, targets, nvs)
+
+
+# ---------------------------------------------------------------------------
 # 4x-packed class kernels: the u8 classification column viewed as int32
 # words, 4 points per element. The unpacked scan is element-rate-bound on
 # the VPU (the 1 B/pt column runs at the same elements/s as the 12 B/pt

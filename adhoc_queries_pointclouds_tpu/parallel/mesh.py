@@ -304,8 +304,16 @@ def sharded_class_count(mesh: Mesh, clss, targets, nvalids, impl: str = "auto"):
         words = predicate.pack_class_words(clss)
         if impl == "auto":
             w = words.shape[-1]
-            if jax.default_backend() == "tpu" and w % predicate.MIN_BLOCK_MULTIPLE == 0:
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and w % predicate.MIN_BLOCK_MULTIPLE == 0:
                 impl = predicate.autotune_impl()
+            elif on_tpu and clss.shape[-1] % predicate.MIN_BLOCK_MULTIPLE == 0:
+                # words not tile-aligned but the u8 block is (block sizes of
+                # 256K-768K points): the unpacked pallas kernel beats the
+                # packed-jnp fallback there, so take that path instead
+                return _class_count_fn(mesh, predicate.autotune_impl())(
+                    clss, targets, nvalids
+                )
             else:
                 impl = "jnp"
         return _class_count_packed_fn(mesh, impl)(words, targets, nvalids)
