@@ -207,6 +207,94 @@ def _pack_transport_enabled() -> bool:
     return os.environ.get("AQPC_PACK", "1") != "0"
 
 
+def _residual_width(col: np.ndarray, block_size: int) -> tuple[int, int]:
+    """(k_bits, base) for packing one int32 column as k-bit residuals.
+
+    Nibble-rounded widths (multiples of 4, not exact k): the per-step width
+    tuple is a jit static arg, so every distinct combo costs one compile
+    (30-40 s over the tunnel, disk-cached after) plus a retained executable
+    workspace — exact-bit widths produce a fresh combo every few files on
+    heterogeneous data. Rounding to 4-bit planes caps combos at 8 per axis
+    for <= 3 bits/axis (~0.4 B/pt) of extra link bytes. The <= 28-bit cap
+    this rounding implies is also what makes the saturating i64->i32 clip
+    of residual-space bounds exact (residuals < 2^28 never collide with a
+    saturated bound); k == 32 forces base = 0, so bounds pass through
+    unclipped. Byte planes only when bit planes can't be laid out
+    (block_size % 8 != 0)."""
+    mn = int(col.min())
+    k = (predicate.bits_width(int(col.max()) - mn) + 3) // 4 * 4
+    if k >= 32 or block_size % 8:
+        k = min((k + 7) // 8 * 8, 32)
+    if k >= 32:
+        return 32, 0
+    return k, mn
+
+
+def _packed_xyz_cols(pos: np.ndarray, block_size: int) -> dict:
+    """Packed-transport columns for one block's (N, 3) int32 positions.
+    Residualization happens at plane-extraction (stack) time; this just
+    records each axis's raw column + (base, width)."""
+    cols = {}
+    base = np.zeros(3, np.int64)
+    w = np.empty(3, np.int64)
+    for a, key in enumerate(("xp", "yp", "zp")):
+        col = np.ascontiguousarray(pos[:, a])
+        k, mn = _residual_width(col, block_size)
+        cols[key] = col
+        base[a] = mn
+        w[a] = k
+    cols["base"] = base
+    cols["w"] = w
+    return cols
+
+
+def _packed_time_cols(th: np.ndarray, tl: np.ndarray, block_size: int) -> dict:
+    """Packed-transport columns for one block's encoded GPS times: the
+    (hi, lo) int32 pair rides the same bit-planar packer as xyz (hi is
+    near-constant on flight-line data; lo packs when times share high
+    mantissa bits)."""
+    kh, bh = _residual_width(th, block_size)
+    kl, bl = _residual_width(tl, block_size)
+    return {
+        "thp": th,
+        "tlp": tl,
+        "base": np.asarray([bh, bl], np.int64),
+        "w": np.asarray([kh, kl], np.int64),
+    }
+
+
+def _packed_time_query(q_enc, base) -> np.ndarray:
+    """Residual-space encoded range for one block: (q0h, q0l, q1h, q1l)
+    shifted by the block's (hi, lo) bases, saturating-clipped to int32
+    (exact under the <= 28-bit width cap — see _residual_width)."""
+    i32 = np.iinfo(np.int32)
+    shift = np.asarray([base[0], base[1], base[0], base[1]], np.int64)
+    return np.clip(
+        np.asarray(q_enc, np.int64) - shift, i32.min, i32.max
+    ).astype(np.int32)
+
+
+def _packed_class_cols(cls: np.ndarray, target: int, block_size: int) -> dict:
+    """Dictionary-coded transport columns for one block's u8 class column.
+
+    codes are int32 dictionary indices (predicate.class_dict_encode); "t"
+    carries the target's code, or len(dict) — a code no point has — when
+    the target class is absent; "np" the dictionary size so the count path
+    can resolve absent/single-class blocks host-side with no device work."""
+    present, codes = predicate.class_dict_encode(cls)
+    pos = int(np.searchsorted(present, np.uint8(target)))
+    tcode = pos if pos < len(present) and int(present[pos]) == int(target) else len(present)
+    return {
+        "clsp": codes.astype(np.int32),
+        "base": np.zeros(1, np.int64),
+        "w": np.asarray(
+            [predicate.class_dict_width(len(present), block_size)], np.int64
+        ),
+        "t": np.asarray([tcode], np.int64),
+        "np": np.asarray([len(present)], np.int64),
+    }
+
+
 def discover_files(input_path) -> list[Path]:
     """File or flat directory listing with extension filter (main.rs:29-57).
     Also accepts an explicit sequence of file paths (distributed manifest
@@ -273,6 +361,7 @@ def run_query(
     print_stream=None,
     density_grid_bounds: AABB | None = None,
     density_state_out: dict | None = None,
+    comm=None,
 ) -> QueryResult:
     """Run one query plan over a file or directory.
 
@@ -281,14 +370,22 @@ def run_query(
     print_stream: stream matching points here as they are found (the
     reference's StdOutCollector, collect_points.rs:46-70) — bounded memory,
     unlike keep_hits. Defaults to sys.stdout when plan.print_points is set.
+    comm: step-communication strategy (parallel/comm.py). The default runs
+    single-process; parallel/distributed.py passes a DistStepComm so this
+    same loop — feeder, packed transport, index pruning, emit machinery —
+    becomes the multi-host SPMD program (count/collect paths; density runs
+    host-local and is merged by distributed_density).
     """
+    from .parallel.comm import LocalStepComm
+
+    comm = comm or LocalStepComm()
     if print_stream is None and plan.print_points:
         import sys
 
         print_stream = sys.stdout
     timer = StageTimer()
     files = discover_files(input_path)
-    if not files:
+    if not files and comm.is_local:
         raise FileNotFoundError(f"No supported point-cloud files under {input_path}")
     total_bytes = sum(f.stat().st_size for f in files)
 
@@ -305,7 +402,7 @@ def run_query(
 
                     print(f"warning: skipping {f}: {e}", file=sys.stderr)
             files = kept
-            if not files:
+            if not files and comm.is_local:
                 raise FileNotFoundError(f"No readable point-cloud files under {input_path}")
         else:
             readers = [open_point_cloud(f) for f in files]
@@ -319,6 +416,9 @@ def run_query(
         else:
             quantum = 8192
         block_size = min(block_size, ((max_pts + quantum - 1) // quantum) * quantum)
+    # multi-host runs must compile identical step shapes: take the max of
+    # every host's clamped block (a no-op single-process)
+    block_size = comm.agree_block_size(block_size)
 
     is_bounds = plan.bounds is not None
     query_bounds = plan.bounds.bounds if is_bounds else None
@@ -394,7 +494,7 @@ def run_query(
             workers=workers, prefetch=prefetch,
             timer=timer, keep_hits=keep_hits, block_index=file_indices_meta,
             index_collectors=index_collectors, print_stream=print_stream,
-            density_state_out=density_state_out,
+            density_state_out=density_state_out, comm=comm,
         )
     else:
         result = _run_count(
@@ -402,6 +502,7 @@ def run_query(
             block_size=block_size, impl=impl, n_devices=n_devices,
             workers=workers, prefetch=prefetch, timer=timer,
             block_index=file_indices_meta, index_collectors=index_collectors,
+            comm=comm,
         )
 
     for i, collector in index_collectors.items():
@@ -437,15 +538,19 @@ def run_query(
 def _run_count(
     plan, readers, active, file_bounds, *, block_size, impl, n_devices,
     workers, prefetch, timer, block_index=None, index_collectors=None,
+    comm=None,
 ):
+    from .parallel.comm import LocalStepComm
+
+    comm = comm or LocalStepComm()
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
-    mesh = mesh_mod.make_mesh(n_devices)
+    mesh = comm.make_mesh(n_devices)
     d = mesh.devices.size
     # K blocks per chip per dispatch amortizes dispatch latency (expensive
     # over the tunneled backend, cheap but nonzero on real hardware).
     blocks_per_step = int(os.environ.get("AQPC_BLOCKS_PER_STEP", "4"))
-    rows_per_step = d * max(1, blocks_per_step)
+    rows_per_step = comm.batch_rows(mesh, max(1, blocks_per_step))
     block_index = block_index or {}
 
     from .index import (
@@ -503,6 +608,7 @@ def _run_count(
 
     index_collectors = index_collectors or {}
 
+    pack = _pack_transport_enabled()
     if is_time:
         # f64 GPS times run on device through the order-preserving
         # (hi, lo) int32 split encoding — exact f64 range semantics with
@@ -517,10 +623,10 @@ def _run_count(
         def load(file_idx, start, stop):
             gps = readers[file_idx].column("gps_time", start, stop)
             th, tl = predicate.encode_f64_sortable(gps)
-            return {"th": th, "tl": tl}
+            if not pack:
+                return {"th": th, "tl": tl}
+            return _packed_time_cols(th, tl, block_size)
     elif is_bounds:
-        pack = _pack_transport_enabled()
-
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
             collector = index_collectors.get(file_idx)
@@ -535,39 +641,17 @@ def _run_count(
             # packed transport: k-bit residual streams vs per-block base
             # (residualization runs here, in the feeder worker threads;
             # plane extraction happens at stack time, pooled)
-            cols = {}
-            base = np.zeros(3, np.int64)
-            w = np.empty(3, np.int64)
-            for a, key in enumerate(("xp", "yp", "zp")):
-                col = np.ascontiguousarray(pos[:, a])
-                mn = int(col.min())
-                # Nibble-rounded widths (multiples of 4, not exact k): the
-                # per-step (kx, ky, kz) tuple is a jit static arg, so every
-                # distinct combo costs one compile (30-40 s over the
-                # tunnel, disk-cached after) plus a retained executable
-                # workspace — exact-bit widths produce a fresh combo every
-                # few files on heterogeneous data. Rounding to 4-bit planes
-                # caps combos at 8 per axis for <= 3 bits/axis (~0.4 B/pt)
-                # of extra link bytes.
-                k = (predicate.bits_width(int(col.max()) - mn) + 3) // 4 * 4
-                if k >= 32 or block_size % 8:
-                    k = min((k + 7) // 8 * 8, 32)  # byte planes only when
-                    # bit planes can't be laid out (B % 8 != 0)
-                if k >= 32:
-                    k, mn = 32, 0
-                cols[key] = col
-                base[a] = mn
-                w[a] = k
-            cols["base"] = base
-            cols["w"] = w
-            return cols
+            return _packed_xyz_cols(pos, block_size)
     else:
+        target_val = plan.classification.classification
+
         def load(file_idx, start, stop):
-            return {
-                "cls": np.ascontiguousarray(
-                    readers[file_idx].column("classification", start, stop)
-                )
-            }
+            cls = np.ascontiguousarray(
+                readers[file_idx].column("classification", start, stop)
+            )
+            if not pack:
+                return {"cls": cls}
+            return _packed_class_cols(cls, target_val, block_size)
 
     feeder = BlockFeeder(
         tasks, load, block_size,
@@ -575,24 +659,30 @@ def _run_count(
     )
 
     pending: list = []
-    total = indexed_total  # CONTAINED blocks already counted, zero IO
+    # device_total: accumulated global step counts (identical on every
+    # participant — the psum spans the comm's mesh); host_total: blocks
+    # resolved with no device work (index-CONTAINED, dictionary
+    # fast-paths) — summed across hosts by comm.finish_total.
+    device_total = 0
+    host_total = indexed_total
     batch = []
 
     def drain(limit: int):
-        nonlocal total
+        nonlocal device_total
         while len(pending) > limit:
-            total += int(pending.pop(0))
+            device_total += int(pending.pop(0))
         _gc_tick()
 
     def flush(batch):
-        # size the step to the batch (rounded up to the mesh) so short
-        # datasets / tail flushes don't pay for rows_per_step of padding
-        rows = ((len(batch) + d - 1) // d) * d
+        rows = comm.step_rows(mesh, len(batch), rows_per_step)
         pad = rows - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
         if is_bounds and pack:
             i32 = np.iinfo(np.int32)
-            wmax = np.maximum.reduce([t.columns["w"] for t in batch])
+            wmax = comm.agree_widths(
+                np.maximum.reduce([t.columns["w"] for t in batch])
+                if batch else np.zeros(3, np.int64)
+            )
             # residual-space bounds: the saturating i64->i32 clip is
             # exact because sub-32 widths are capped at 28 bits (residuals
             # < 2^28 never collide with a saturated bound) and k == 32
@@ -610,11 +700,13 @@ def _run_count(
             xs = _stack_planes(batch, "xp", 0, rows, int(wmax[0]), block_size)
             ys = _stack_planes(batch, "yp", 1, rows, int(wmax[1]), block_size)
             zs = _stack_planes(batch, "zp", 2, rows, int(wmax[2]), block_size)
+            arrays = comm.put(
+                mesh, (xs, ys, zs, np.stack(lo_rows), np.stack(hi_rows), nvs)
+            )
             pending.append(
                 mesh_mod.sharded_bbox_count_packed(
-                    mesh, xs, ys, zs, np.stack(lo_rows), np.stack(hi_rows),
-                    nvs, (int(wmax[0]), int(wmax[1]), int(wmax[2])),
-                    block_size,
+                    mesh, *arrays,
+                    (int(wmax[0]), int(wmax[1]), int(wmax[2])), block_size,
                 )
             )
         elif is_bounds:
@@ -623,31 +715,86 @@ def _run_count(
             zs = _stack_rows(batch, "z", rows, block_size, np.int32)
             los = np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad)
             his = np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad)
+            arrays = comm.put(mesh, (xs, ys, zs, los, his, nvs))
             pending.append(
-                mesh_mod.sharded_bbox_count(mesh, xs, ys, zs, los, his, nvs, impl=impl)
+                mesh_mod.sharded_bbox_count(mesh, *arrays, impl=impl)
+            )
+        elif is_time and pack:
+            wmax = comm.agree_widths(
+                np.maximum.reduce([t.columns["w"] for t in batch])
+                if batch else np.zeros(2, np.int64)
+            )
+            q_rows = [_packed_time_query(q_enc, t.columns["base"]) for t in batch]
+            q_rows += [np.zeros(4, np.int32)] * pad
+            ths = _stack_planes(batch, "thp", 0, rows, int(wmax[0]), block_size)
+            tls = _stack_planes(batch, "tlp", 1, rows, int(wmax[1]), block_size)
+            arrays = comm.put(mesh, (ths, tls, np.stack(q_rows), nvs))
+            pending.append(
+                mesh_mod.sharded_time_count_packed(
+                    mesh, *arrays, (int(wmax[0]), int(wmax[1])), block_size,
+                )
             )
         elif is_time:
             ths = _stack_rows(batch, "th", rows, block_size, np.int32)
             tls = _stack_rows(batch, "tl", rows, block_size, np.int32)
             qs = np.tile(q_enc, (rows, 1))
-            pending.append(mesh_mod.sharded_time_count(mesh, ths, tls, qs, nvs))
+            arrays = comm.put(mesh, (ths, tls, qs, nvs))
+            pending.append(mesh_mod.sharded_time_count(mesh, *arrays))
+        elif pack:
+            kmax = int(comm.agree_widths(np.asarray(
+                [max(int(t.columns["w"][0]) for t in batch) if batch else 0],
+                np.int64,
+            ))[0])
+            cps = _stack_planes(batch, "clsp", 0, rows, kmax, block_size)
+            targets = np.asarray(
+                [int(t.columns["t"][0]) for t in batch] + [0] * pad, np.int32
+            )
+            arrays = comm.put(mesh, (cps, targets, nvs))
+            pending.append(
+                mesh_mod.sharded_class_count_dict(
+                    mesh, *arrays, kmax, block_size
+                )
+            )
         else:
             clss = _stack_rows(batch, "cls", rows, block_size, np.uint8)
             targets = np.full(rows, plan.classification.classification, np.int32)
-            pending.append(mesh_mod.sharded_class_count(mesh, clss, targets, nvs))
-        drain(current_inflight() - 1)
+            arrays = comm.put(mesh, (clss, targets, nvs))
+            pending.append(mesh_mod.sharded_class_count(mesh, *arrays))
+        drain((comm.inflight() or current_inflight()) - 1)
 
+    # host-side dictionary fast-paths change the flushed-step count, so they
+    # are local-only: multi-host lockstep needs a step count derivable from
+    # the task list alone (the device resolves those blocks for free anyway)
+    is_class_dict = pack and not is_bounds and not is_time and comm.is_local
+    n_steps = comm.agree_steps((len(tasks) + rows_per_step - 1) // rows_per_step)
     with timer.stage("scan"):
+        flushed = 0
         for task in feeder:
+            if is_class_dict:
+                # the dictionary resolves two block shapes with no device
+                # work: target class absent (count 0) and single-class
+                # all-match (count n_valid) — the host already paid the one
+                # u8 pass to build the dictionary
+                npres = int(task.columns["np"][0])
+                if int(task.columns["t"][0]) >= npres:
+                    continue
+                if npres == 1:
+                    host_total += task.n_valid
+                    continue
             batch.append(task)
             if len(batch) == rows_per_step:
                 flush(batch)
+                flushed += 1
                 batch = []
         if batch:
             flush(batch)
+            flushed += 1
+        while flushed < n_steps:  # other hosts still have steps: match them
+            flush([])
+            flushed += 1
         drain(0)
 
-    return total, [], []
+    return comm.finish_total(device_total, host_total), [], []
 
 
 # ---------------------------------------------------------------------------
@@ -659,10 +806,13 @@ def _run_collect(
     plan, files, readers, active, file_bounds, grid, *,
     block_size, impl, n_devices, workers, prefetch, timer, keep_hits,
     block_index=None, index_collectors=None, print_stream=None,
-    density_state_out=None,
+    density_state_out=None, comm=None,
 ):
     """Collect-path driver: density goes to the grid-sampling pipeline,
     everything else through the sharded batched compaction path."""
+    from .parallel.comm import LocalStepComm
+
+    comm = comm or LocalStepComm()
     emitter = HitEmitter(
         readers,
         output_dir=plan.output_dir,
@@ -670,6 +820,9 @@ def _run_collect(
         keep_hits=keep_hits,
     )
     if plan.density is not None:
+        # density always runs host-local (distributed_density merges per
+        # -host grids/keys itself; a global-mesh density step would ship
+        # candidate payloads across hosts for nothing)
         _run_density(
             plan, readers, active, file_bounds, grid, emitter,
             block_size=block_size, n_devices=n_devices,
@@ -678,20 +831,24 @@ def _run_collect(
             index_collectors=index_collectors,
             state_out=density_state_out,
         )
+        total = emitter.total
     else:
         _run_collect_mesh(
             plan, readers, active, file_bounds, emitter,
             block_size=block_size, n_devices=n_devices,
             workers=workers, prefetch=prefetch, timer=timer,
             block_index=block_index, index_collectors=index_collectors,
+            comm=comm,
         )
-    return emitter.total, emitter.all_hits, emitter.output_files
+        # hit payloads never cross hosts; only the count is all-reduced
+        total = comm.reduce_sum(emitter.total)
+    return total, emitter.all_hits, emitter.output_files
 
 
 def _run_collect_mesh(
     plan, readers, active, file_bounds, emitter, *,
     block_size, n_devices, workers, prefetch, timer,
-    block_index=None, index_collectors=None,
+    block_index=None, index_collectors=None, comm=None,
 ):
     """Mesh-parallel streaming collect.
 
@@ -711,13 +868,16 @@ def _run_collect_mesh(
         CONTAINED, DISJOINT, class_present, classify_block, classify_time_block,
     )
 
+    from .parallel.comm import LocalStepComm
+
+    comm = comm or LocalStepComm()
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
     kind = "bbox" if is_bounds else ("time" if is_time else "class")
-    mesh = mesh_mod.make_mesh(n_devices)
+    mesh = comm.make_mesh(n_devices)
     d = mesh.devices.size
     blocks_per_step = int(os.environ.get("AQPC_BLOCKS_PER_STEP", "4"))
-    rows_per_step = d * max(1, blocks_per_step)
+    rows_per_step = comm.batch_rows(mesh, max(1, blocks_per_step))
     block_index = block_index or {}
     index_collectors = index_collectors or {}
 
@@ -776,7 +936,7 @@ def _run_collect_mesh(
             emit_queue[i].append(("scan",))
             tasks.append((i, b, start, stop))
 
-    pack = is_bounds and _pack_transport_enabled()
+    pack = _pack_transport_enabled()
     if is_bounds:
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
@@ -790,40 +950,31 @@ def _run_collect_mesh(
                     "z": np.ascontiguousarray(pos[:, 2]),
                 }
             # packed transport (see _run_count): residuals only — retries
-            # re-test in residual space, and hit ATTRIBUTES are gathered
-            # from the readers by index, so raw coords are never needed
-            cols = {}
-            base = np.zeros(3, np.int64)
-            w = np.empty(3, np.int64)
-            for a, key in enumerate(("xp", "yp", "zp")):
-                col = np.ascontiguousarray(pos[:, a])
-                mn = int(col.min())
-                # Same nibble rounding as the count path: bounds the jit
-                # -specialization count AND caps sub-32 widths at 28 bits,
-                # which packed_bounds' clip-exactness proof requires.
-                k = (predicate.bits_width(int(col.max()) - mn) + 3) // 4 * 4
-                if k >= 32 or block_size % 8:
-                    k = min((k + 7) // 8 * 8, 32)
-                if k >= 32:
-                    k, mn = 32, 0
-                cols[key] = col
-                base[a] = mn
-                w[a] = k
-            cols["base"] = base
-            cols["w"] = w
-            return cols
+            # re-test the raw columns host-kept under xp/yp/zp, and hit
+            # ATTRIBUTES are gathered from the readers by index, so raw
+            # coords never cross the link
+            return _packed_xyz_cols(pos, block_size)
     elif is_time:
         def load(file_idx, start, stop):
             gps = readers[file_idx].column("gps_time", start, stop)
             th, tl = predicate.encode_f64_sortable(gps)
-            return {"th": th, "tl": tl}
+            if not pack:
+                return {"th": th, "tl": tl}
+            return _packed_time_cols(th, tl, block_size)
     else:
+        target_val = plan.classification.classification
+
         def load(file_idx, start, stop):
-            return {
-                "cls": np.ascontiguousarray(
-                    readers[file_idx].column("classification", start, stop)
-                )
-            }
+            cls = np.ascontiguousarray(
+                readers[file_idx].column("classification", start, stop)
+            )
+            if not pack:
+                return {"cls": cls}
+            # unlike the count path, absent-target / single-class blocks
+            # still ship (>= 1-bit planes): host-resolving them here would
+            # have to thread through the ordered emit queue anyway, and the
+            # device already resolves them for free (miss code / all-match)
+            return _packed_class_cols(cls, target_val, block_size)
 
     feeder = BlockFeeder(
         tasks, load, block_size,
@@ -903,10 +1054,22 @@ def _run_collect_mesh(
                 jnp.asarray(task.lo), jnp.asarray(task.hi), nv, cap=cap2,
             )
         elif kind == "time":
+            # packed loads keep the raw encoded pair under thp/tlp
+            th = task.columns["thp" if pack else "th"]
+            tl = task.columns["tlp" if pack else "tl"]
             idx2 = compact.time_compact(
-                jnp.asarray(pad_to(task.columns["th"], block_size)),
-                jnp.asarray(pad_to(task.columns["tl"], block_size)),
+                jnp.asarray(pad_to(th, block_size)),
+                jnp.asarray(pad_to(tl, block_size)),
                 jnp.asarray(q_enc), nv, cap=cap2,
+            )
+        elif pack:
+            # dictionary codes select the same index set as raw classes:
+            # cls == target  <=>  code == tcode (tcode = len(dict) on a
+            # miss, which no code equals)
+            idx2 = compact.class_compact(
+                jnp.asarray(pad_to(task.columns["clsp"], block_size)),
+                jnp.asarray(int(task.columns["t"][0]), jnp.int32),
+                nv, cap=cap2,
             )
         else:
             idx2 = compact.class_compact(
@@ -919,13 +1082,20 @@ def _run_collect_mesh(
     pending = deque()
 
     def flush(batch):
-        rows = ((len(batch) + d - 1) // d) * d
+        nonlocal cap
+        # multi-host: the collect program's cap must match across hosts
+        # (it's a static shape); take the max so local ratchets propagate
+        cap = comm.agree_cap(cap)
+        rows = comm.step_rows(mesh, len(batch), rows_per_step)
         pad = rows - len(batch)
         nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
         step_kind = kind
         step_extra = ()
         if kind == "bbox" and pack:
-            wmax = np.maximum.reduce([t.columns["w"] for t in batch])
+            wmax = comm.agree_widths(
+                np.maximum.reduce([t.columns["w"] for t in batch])
+                if batch else np.zeros(3, np.int64)
+            )
             pbounds = [packed_bounds(t) for t in batch]
             arrays = (
                 _stack_planes(batch, "xp", 0, rows, int(wmax[0]), block_size),
@@ -946,6 +1116,21 @@ def _run_collect_mesh(
                 np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad),
                 nvs,
             )
+        elif kind == "time" and pack:
+            wmax = comm.agree_widths(
+                np.maximum.reduce([t.columns["w"] for t in batch])
+                if batch else np.zeros(2, np.int64)
+            )
+            q_rows = [_packed_time_query(q_enc, t.columns["base"]) for t in batch]
+            q_rows += [np.zeros(4, np.int32)] * pad
+            arrays = (
+                _stack_planes(batch, "thp", 0, rows, int(wmax[0]), block_size),
+                _stack_planes(batch, "tlp", 1, rows, int(wmax[1]), block_size),
+                np.stack(q_rows),
+                nvs,
+            )
+            step_kind = "time_packed"
+            step_extra = ((int(wmax[0]), int(wmax[1])), block_size)
         elif kind == "time":
             arrays = (
                 _stack_rows(batch, "th", rows, block_size, np.int32),
@@ -953,6 +1138,20 @@ def _run_collect_mesh(
                 np.tile(q_enc, (rows, 1)),
                 nvs,
             )
+        elif pack:
+            kmax = int(comm.agree_widths(np.asarray(
+                [max(int(t.columns["w"][0]) for t in batch) if batch else 0],
+                np.int64,
+            ))[0])
+            arrays = (
+                _stack_planes(batch, "clsp", 0, rows, kmax, block_size),
+                np.asarray(
+                    [int(t.columns["t"][0]) for t in batch] + [0] * pad, np.int32
+                ),
+                nvs,
+            )
+            step_kind = "class_dict"
+            step_extra = (kmax, block_size)
         else:
             arrays = (
                 _stack_rows(batch, "cls", rows, block_size, np.uint8),
@@ -960,10 +1159,10 @@ def _run_collect_mesh(
                 nvs,
             )
         counts_dev, idx_dev = mesh_mod.sharded_collect(
-            mesh, step_kind, arrays, cap, step_extra
+            mesh, step_kind, comm.put(mesh, arrays), cap, step_extra
         )
         pending.append((batch, counts_dev, idx_dev, cap))
-        drain(current_inflight() - 1)
+        drain((comm.inflight() or current_inflight()) - 1)
 
     # Emission (disk gather of hit attributes, LAS encode, printing) runs on
     # ONE ordered worker thread so it overlaps the next device steps — the
@@ -998,12 +1197,12 @@ def _run_collect_mesh(
 
     def process(batch, counts_dev, idx_dev, cap_used):
         nonlocal cap
-        counts = np.asarray(counts_dev)[: len(batch)]
+        counts = comm.fetch_rows(counts_dev)[: len(batch)]
         need_idx = any(
             0 < int(c) < batch[j].n_valid and int(c) <= cap_used
             for j, c in enumerate(counts)
         )
-        idx_np = np.asarray(idx_dev) if need_idx else None
+        idx_np = comm.fetch_rows(idx_dev) if need_idx else None
         for j, task in enumerate(batch):
             c = int(counts[j])
             if c == 0:
@@ -1036,16 +1235,23 @@ def _run_collect_mesh(
             process(*pending.popleft())
         _gc_tick()
 
+    n_steps = comm.agree_steps((len(tasks) + rows_per_step - 1) // rows_per_step)
     with timer.stage("scan"):
         try:
             batch = []
+            flushed = 0
             for task in feeder:
                 batch.append(task)
                 if len(batch) == rows_per_step:
                     flush(batch)
+                    flushed += 1
                     batch = []
             if batch:
                 flush(batch)
+                flushed += 1
+            while flushed < n_steps:  # other hosts still have steps
+                flush([])
+                flushed += 1
             drain(0)
             if active:
                 submit_emit(lambda: finalize_through(max(active)))

@@ -541,6 +541,9 @@ def time_mask_packed_jnp_multi(thp, tlp, qs, nvs, widths, block_size):
 # point carries, so the count is exactly 0). A single-class block packs to
 # k = 0: ZERO plane bytes cross the link and the compare degenerates to
 # 0 == tcode, i.e. all-match or all-miss decided by the target row alone.
+# (The count path never ships single-class or target-absent blocks at all —
+# the host resolves them to n_valid or 0 from the dictionary; the collect
+# path ships every block at >= 1 bit so step operands are never zero-width.)
 # ---------------------------------------------------------------------------
 
 
@@ -564,11 +567,11 @@ def class_dict_width(n_present: int, block_size: int) -> int:
     specialization), byte-rounded when bit planes can't be laid out."""
     k = bits_width(max(n_present - 1, 0))
     if block_size % 8:
-        return 8 if k else 0
+        return 8  # bit planes need B % 8 == 0; byte planes only
     p = 1
     while p < k:
         p *= 2
-    return p
+    return p  # 1..8 (a single-class block still ships its 1-bit zeros)
 
 
 def class_count_dict_jnp_multi(cp, targets, nvs, k, block_size):

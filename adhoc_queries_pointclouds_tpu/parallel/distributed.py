@@ -2,30 +2,32 @@
 
 The reference is strictly single-process (rayon threads, SURVEY §2.5); its
 "all-reduce" is a fold over per-file collectors on the main thread
-(main.rs:164-180). The TPU-native lift: every host runs this same SPMD
+(main.rs:164-180). The TPU-native lift: every host runs the same SPMD
 program under `jax.distributed`, reads its own shard of the file manifest
 (the rayon-per-file model raised to hosts), feeds its local devices, and the
 per-step `psum` spans the GLOBAL mesh — partial counts ride ICI within a
 slice and DCN across hosts, inserted by XLA, no hand-rolled NCCL/MPI.
 
-Query-type coverage matches the local engine (the reference's parallel
-driver is query-type agnostic, main.rs:153-161):
-  - distributed_count: bbox / class / GPS-time counts, global-mesh psum
-  - distributed_collect: the sharded fused predicate+compaction step on the
-    global mesh; each host reads back only its addressable output shards
-    and gathers/dumps hits from its own files (hit attributes never cross
-    hosts — only the final count is all-reduced)
+Since round 4 the multi-host path IS the local engine: `DistStepComm`
+(implementing parallel/comm.py's strategy surface) is handed to
+`engine.run_query`, so the decode-ahead BlockFeeder, bit-planar packed
+transport (xyz + GPS-time), class-dictionary transport, and sidecar-index
+pruning all run unchanged per host. The comm only contributes the collective
+glue: global-mesh construction, per-step width/cap agreement (packed widths
+and collect caps are static shapes — every host must compile the identical
+program), process-local -> global array assembly, per-host shard readback,
+and the final count all-reduce. Hit payloads never cross hosts.
 
-Caps and step counts are agreed across processes up front (max over hosts),
-so every host compiles and dispatches the identical program — no divergence,
-no deadlock. Single-host processes degenerate gracefully (process_count ==
-1 makes this identical to the local engine), which is how it is exercised
-in CI; true multi-host runs need a TPU pod slice with
-`jax.distributed.initialize` reachable coordinators.
+Caps, steps, widths and block sizes are agreed via tiny DCN all-reduces, so
+hosts never diverge — no divergence, no deadlock. Single-host processes
+degenerate gracefully (process_count == 1 makes every agreement an
+identity), which is how this is exercised in CI; tools/dist2.py proves the
+2-process gloo boundary for every query kind.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from pathlib import Path
 
@@ -35,8 +37,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.query import QueryPlan
-from ..utils.aabb import clamp_bounds_to_i32, local_query_bounds
-from . import mesh as mesh_mod
 
 
 def initialize(coordinator_address: str | None = None, num_processes: int | None = None,
@@ -77,6 +77,21 @@ def _allreduce_max(value: int, mesh: Mesh) -> int:
     return int(jnp.max(arr))
 
 
+def _allreduce_max_vec(values: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Field-wise max of a small int vector across processes (packed-width
+    agreement: every host must compile the same static width tuple)."""
+    if jax.process_count() == 1:
+        return values
+    d_local = len(jax.local_devices())
+    local = np.tile(np.asarray(values, np.int64), (d_local, 1))
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("d", None)),
+        local,
+        (mesh.devices.size, local.shape[1]),
+    )
+    return np.asarray(jnp.max(arr, axis=0)).astype(values.dtype)
+
+
 def _allreduce_sum(value: int, mesh: Mesh) -> int:
     if jax.process_count() == 1:
         return value
@@ -89,93 +104,104 @@ def _allreduce_sum(value: int, mesh: Mesh) -> int:
     return int(jnp.sum(arr))
 
 
-def _plan_kind(plan: QueryPlan) -> str:
-    if plan.bounds is not None:
-        return "bbox"
-    if plan.time_range is not None:
-        return "time"
-    return "class"
+class DistStepComm:
+    """Multi-host step-communication strategy for engine.run_query.
 
+    See parallel/comm.py for the contract. Every agreement is a tiny DCN
+    all-reduce; step operands are lifted to global arrays from process-local
+    shards (jax.make_array_from_process_local_data), and step outputs are
+    read back shard-wise so a host only ever touches its own rows."""
 
-def _local_tasks(plan: QueryPlan, readers, block_size: int, parity_quirk: bool):
-    """(reader_idx, start, stop, lo, hi) blocks of this host's files."""
-    is_bounds = plan.bounds is not None
-    tasks = []
-    for i, r in enumerate(readers):
-        lo = np.zeros(3, np.int32)
-        hi = np.full(3, -1, np.int32)
-        if is_bounds:
-            if not r.header.bounds.intersects(plan.bounds.bounds):
-                continue
-            lo64, hi64 = local_query_bounds(
-                plan.bounds.bounds, r.header.scale, r.header.offset,
-                parity_quirk=parity_quirk,
+    is_local = False
+
+    def __init__(self):
+        self._mesh = global_mesh()
+
+    def make_mesh(self, n_devices=None):
+        return self._mesh
+
+    def agree_block_size(self, block_size: int) -> int:
+        return _allreduce_max(block_size, self._mesh)
+
+    def batch_rows(self, mesh, blocks_per_device: int) -> int:
+        return len(jax.local_devices()) * blocks_per_device
+
+    def step_rows(self, mesh, n_batch: int, rows_per_step: int) -> int:
+        # fixed step shape: every host pads to the same local row count
+        return rows_per_step
+
+    def agree_steps(self, n_steps: int) -> int:
+        return _allreduce_max(n_steps, self._mesh)
+
+    def agree_widths(self, widths: np.ndarray) -> np.ndarray:
+        return _allreduce_max_vec(widths, self._mesh)
+
+    def agree_cap(self, cap: int) -> int:
+        return _allreduce_max(cap, self._mesh)
+
+    def inflight(self) -> int:
+        # synchronous steps: the cap ratchet must apply at the same step
+        # boundary on every host (the feeder still decodes ahead)
+        return 1
+
+    def put(self, mesh, arrays: tuple) -> tuple:
+        # every host contributes the same fixed row count (step_rows), so
+        # the global leading dim is local rows x process count
+        out = []
+        for a in arrays:
+            spec = P("d") if a.ndim == 1 else P("d", None)
+            out.append(
+                jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, spec), a,
+                    (a.shape[0] * jax.process_count(),) + a.shape[1:],
+                )
             )
-            lo, hi = clamp_bounds_to_i32(lo64, hi64)
-        n = r.point_count
-        for b in range((n + block_size - 1) // block_size):
-            start = b * block_size
-            tasks.append((i, start, min(start + block_size, n), lo, hi))
-    return tasks
+        return tuple(out)
+
+    def fetch_rows(self, dev) -> np.ndarray:
+        shards = sorted(dev.addressable_shards, key=lambda s: s.index[0].start)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    def finish_total(self, device_total: int, host_total: int) -> int:
+        return device_total + _allreduce_sum(host_total, self._mesh)
+
+    def reduce_sum(self, value: int) -> int:
+        return _allreduce_sum(value, self._mesh)
 
 
-def _load_step(kind, plan, readers, chunk, d_local, block_size, q_enc):
-    """Stack this host's blocks for one global step (padded with empties)."""
-    from ..ops import predicate
+def _sharded_plan(input_path, plan: QueryPlan, parity_quirk: bool,
+                  output_dir: Path | None):
+    from ..engine import discover_files
 
-    nvs = np.zeros(d_local, np.int32)
-    cols = {}
-    if kind in ("bbox", "time"):
-        cols["a"] = np.zeros((d_local, block_size), np.int32)
-        cols["b"] = np.zeros((d_local, block_size), np.int32)
-    if kind == "bbox":
-        cols["c"] = np.zeros((d_local, block_size), np.int32)
-        cols["lo"] = np.zeros((d_local, 3), np.int32)
-        cols["hi"] = np.full((d_local, 3), -1, np.int32)  # empty box padding
-    elif kind == "class":
-        cols["a"] = np.zeros((d_local, block_size), np.uint8)
-        cols["t"] = np.full(d_local, plan.classification.classification, np.int32)
-    else:
-        cols["q"] = np.tile(q_enc, (d_local, 1))
-    for j, (i, start, stop, lo, hi) in enumerate(chunk):
-        nvs[j] = stop - start
-        if kind == "bbox":
-            pos = readers[i].column("position", start, stop)
-            cols["a"][j, : stop - start] = pos[:, 0]
-            cols["b"][j, : stop - start] = pos[:, 1]
-            cols["c"][j, : stop - start] = pos[:, 2]
-            cols["lo"][j] = lo
-            cols["hi"][j] = hi
-        elif kind == "class":
-            cols["a"][j, : stop - start] = readers[i].column(
-                "classification", start, stop
-            )
-        else:
-            th, tl = predicate.encode_f64_sortable(
-                readers[i].column("gps_time", start, stop)
-            )
-            cols["a"][j, : stop - start] = th
-            cols["b"][j, : stop - start] = tl
-    return cols, nvs
+    files = shard_manifest(discover_files(input_path))
+    if parity_quirk and not plan.parity_quirk:
+        plan = dataclasses.replace(plan, parity_quirk=True)
+    if output_dir is not None and plan.output_dir != output_dir:
+        plan = dataclasses.replace(plan, output_dir=Path(output_dir))
+    return files, plan
 
 
-def _to_global(mesh, cols, nvs, kind, d_global, block_size):
-    sh2 = NamedSharding(mesh, P("d", None))
-    sh1 = NamedSharding(mesh, P("d"))
+def distributed_query(
+    input_path: str | Path,
+    plan: QueryPlan,
+    *,
+    block_size: int = 1 << 21,
+    parity_quirk: bool = False,
+    use_index: bool = True,
+    output_dir: Path | None = None,
+    print_stream=None,
+    keep_hits: bool = False,
+):
+    """Run one plan over all hosts' manifest shards through the REAL engine
+    (run_query + DistStepComm). Returns the engine's QueryResult: its
+    match_count is the global total; hits/output_files are this host's."""
+    from ..engine import run_query
 
-    def g2(a):
-        return jax.make_array_from_process_local_data(
-            sh2, a, (d_global,) + a.shape[1:]
-        )
-
-    gnvs = jax.make_array_from_process_local_data(sh1, nvs, (d_global,))
-    if kind == "bbox":
-        return (g2(cols["a"]), g2(cols["b"]), g2(cols["c"]),
-                g2(cols["lo"]), g2(cols["hi"]), gnvs)
-    if kind == "class":
-        gt = jax.make_array_from_process_local_data(sh1, cols["t"], (d_global,))
-        return (g2(cols["a"]), gt, gnvs)
-    return (g2(cols["a"]), g2(cols["b"]), g2(cols["q"]), gnvs)
+    files, plan = _sharded_plan(input_path, plan, parity_quirk, output_dir)
+    return run_query(
+        files, plan, block_size=block_size, use_index=use_index,
+        print_stream=print_stream, keep_hits=keep_hits, comm=DistStepComm(),
+    )
 
 
 def distributed_count(
@@ -185,50 +211,10 @@ def distributed_count(
     block_size: int = 1 << 21,
     parity_quirk: bool = False,
 ) -> int:
-    """bbox/class/GPS-time count over all hosts' file shards, global psum.
-
-    Each step: every process stacks `local_devices` blocks from ITS files,
-    assembles the global array from process-local shards
-    (jax.make_array_from_process_local_data), and runs the same shard_map
-    count step — XLA turns the psum into ICI+DCN collectives. Ragged tails
-    are padded with empty blocks, so hosts never diverge in step count.
-    """
-    from ..engine import discover_files
-    from ..formats import open_point_cloud
-    from ..ops import predicate
-
-    kind = _plan_kind(plan)
-    mesh = global_mesh()
-    d_global = mesh.devices.size
-    d_local = len(jax.local_devices())
-
-    q_enc = None
-    if kind == "time":
-        q_enc = np.asarray(
-            predicate.encode_f64_scalar(plan.time_range.start)
-            + predicate.encode_f64_scalar(plan.time_range.end),
-            np.int32,
-        )
-
-    readers = [open_point_cloud(f) for f in shard_manifest(discover_files(input_path))]
-    tasks = _local_tasks(plan, readers, block_size, parity_quirk)
-    steps = _allreduce_max((len(tasks) + d_local - 1) // d_local, mesh)
-
-    total = 0
-    for s in range(steps):
-        chunk = tasks[s * d_local : (s + 1) * d_local]
-        cols, nvs = _load_step(kind, plan, readers, chunk, d_local, block_size, q_enc)
-        arrays = _to_global(mesh, cols, nvs, kind, d_global, block_size)
-        if kind == "bbox":
-            total += int(mesh_mod.sharded_bbox_count(mesh, *arrays))
-        elif kind == "class":
-            total += int(mesh_mod.sharded_class_count(mesh, *arrays))
-        else:
-            total += int(mesh_mod.sharded_time_count(mesh, *arrays))
-
-    for r in readers:
-        r.close()
-    return total
+    """bbox/class/GPS-time count over all hosts' file shards, global psum."""
+    return distributed_query(
+        input_path, plan, block_size=block_size, parity_quirk=parity_quirk
+    ).match_count
 
 
 # backwards-compatible alias (round-1 API)
@@ -251,112 +237,17 @@ def distributed_collect(
     """Collect query over all hosts' file shards.
 
     Every host participates in every sharded fused predicate+compaction
-    step (identical program), then reads back only its addressable shards
-    of the (counts, indices) outputs and gathers/dumps hits from its own
-    files — the reference's per-file parallel collection (main.rs:153-161)
-    lifted to hosts, with hit payloads never crossing the network. Returns
-    (global match count, this host's HitEmitter).
-    """
-    from ..engine import discover_files
-    from ..formats import open_point_cloud
-    from ..ops import compact, predicate
-    from ..sinks import HitEmitter
-
-    kind = _plan_kind(plan)
-    mesh = global_mesh()
-    d_global = mesh.devices.size
-    d_local = len(jax.local_devices())
-    # cap must be identical on every process (same compiled program): fixed
-    # by env, per-block overflow retried with a host-local dispatch
-    cap = min(int(os.environ.get("AQPC_COLLECT_CAP", "8192")), block_size)
-
-    q_enc = None
-    if kind == "time":
-        q_enc = np.asarray(
-            predicate.encode_f64_scalar(plan.time_range.start)
-            + predicate.encode_f64_scalar(plan.time_range.end),
-            np.int32,
-        )
-
-    readers = [open_point_cloud(f) for f in shard_manifest(discover_files(input_path))]
-    emitter = HitEmitter(
-        readers, output_dir=output_dir, print_stream=print_stream, keep_hits=keep_hits
+    step (identical program), reads back only its addressable shards of the
+    (counts, indices) outputs, and gathers/dumps hits from its own files —
+    the reference's per-file parallel collection (main.rs:153-161) lifted
+    to hosts, with hit payloads never crossing the network. Returns
+    (global match count, this host's QueryResult — .output_files/.hits are
+    the host-local outputs)."""
+    res = distributed_query(
+        input_path, plan, block_size=block_size, parity_quirk=parity_quirk,
+        output_dir=output_dir, print_stream=print_stream, keep_hits=keep_hits,
     )
-    tasks = _local_tasks(plan, readers, block_size, parity_quirk)
-    steps = _allreduce_max((len(tasks) + d_local - 1) // d_local, mesh)
-
-    local_rows = {}  # global row index -> owning local shard data slot
-    for s in range(steps):
-        chunk = tasks[s * d_local : (s + 1) * d_local]
-        cols, nvs = _load_step(kind, plan, readers, chunk, d_local, block_size, q_enc)
-        arrays = _to_global(mesh, cols, nvs, kind, d_global, block_size)
-        counts_dev, idx_dev = mesh_mod.sharded_collect(mesh, kind, arrays, cap)
-
-        # read back only this process's shards
-        my_counts = np.zeros(d_local, np.int32)
-        my_idx = None
-        shards = sorted(counts_dev.addressable_shards, key=lambda sh: sh.index[0].start)
-        for j, sh in enumerate(shards):
-            my_counts[j] = np.asarray(sh.data)[0]
-        if (my_counts[: len(chunk)] > 0).any():
-            ishards = sorted(idx_dev.addressable_shards, key=lambda sh: sh.index[0].start)
-            my_idx = np.concatenate([np.asarray(sh.data) for sh in ishards], axis=0)
-
-        for j, (i, start, stop, lo, hi) in enumerate(chunk):
-            c = int(my_counts[j])
-            if c == 0:
-                continue
-            nv = stop - start
-            if c == nv:
-                emitter.emit_range(i, start, stop)
-                continue
-            if c <= cap:
-                local = my_idx[j, :c]
-            else:  # host-local retry at the right pow2 bucket
-                cap2 = compact.pow2_bucket(c, block_size)
-                nvj = jnp.asarray(nv, jnp.int32)
-                if kind == "bbox":
-                    pos = readers[i].column("position", start, stop)
-                    from .pipeline import pad_to
-
-                    idx2 = compact.bbox_compact(
-                        jnp.asarray(pad_to(np.ascontiguousarray(pos[:, 0]), block_size)),
-                        jnp.asarray(pad_to(np.ascontiguousarray(pos[:, 1]), block_size)),
-                        jnp.asarray(pad_to(np.ascontiguousarray(pos[:, 2]), block_size)),
-                        jnp.asarray(lo), jnp.asarray(hi), nvj, cap=cap2,
-                    )
-                elif kind == "class":
-                    from .pipeline import pad_to
-
-                    cls = pad_to(
-                        np.ascontiguousarray(readers[i].column("classification", start, stop)),
-                        block_size,
-                    )
-                    idx2 = compact.class_compact(
-                        jnp.asarray(cls),
-                        jnp.asarray(plan.classification.classification, jnp.int32),
-                        nvj, cap=cap2,
-                    )
-                else:
-                    from .pipeline import pad_to
-
-                    th, tl = predicate.encode_f64_sortable(
-                        readers[i].column("gps_time", start, stop)
-                    )
-                    idx2 = compact.time_compact(
-                        jnp.asarray(pad_to(th, block_size)),
-                        jnp.asarray(pad_to(tl, block_size)),
-                        jnp.asarray(q_enc), nvj, cap=cap2,
-                    )
-                local = np.asarray(idx2[:c])
-            emitter.emit_indices(i, local.astype(np.int64) + start)
-
-    for i in range(len(readers)):
-        emitter.finalize_file(i)
-    total = _allreduce_sum(emitter.total, mesh)
-    for r in readers:
-        r.close()
-    return total, emitter
+    return res.match_count, res
 
 
 def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
@@ -419,7 +310,7 @@ def distributed_density(
     needs only a count all-reduce; scope='global' unions the winner cell
     keys across hosts — the count is the number of distinct keys, which is
     independent of cross-host tie resolution."""
-    from ..engine import discover_files, get_total_bounds, run_query
+    from ..engine import discover_files, run_query
     from ..formats import open_point_cloud
     from ..utils.aabb import AABB
 

@@ -162,6 +162,60 @@ def sharded_time_count(mesh: Mesh, ths, tls, qs, nvalids):
     return _time_count_fn(mesh)(ths, tls, qs, nvalids)
 
 
+@functools.lru_cache(maxsize=64)
+def _time_count_packed_fn(mesh: Mesh, widths: tuple, block_size: int):
+    def per_device(thp, tlp, qs, nv):
+        counts = predicate.time_count_packed_jnp_multi(
+            thp, tlp, qs, nv, widths, block_size
+        )
+        return jax.lax.psum(jnp.sum(counts, dtype=jnp.int32), "d")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None), P("d")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_time_count_packed(mesh: Mesh, thp, tlp, qs, nvalids, widths,
+                              block_size: int):
+    """Bit-planar packed GPS-time count over D*K blocks. thp/tlp: u8 plane
+    stacks of the (hi, lo) int32 split encoding; qs residual-space encoded
+    ranges; widths a static (k_hi, k_lo) bit tuple."""
+    return _time_count_packed_fn(mesh, tuple(widths), block_size)(
+        thp, tlp, qs, nvalids
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _class_count_dict_fn(mesh: Mesh, k: int, block_size: int):
+    def per_device(cp, targets, nv):
+        counts = predicate.class_count_dict_jnp_multi(
+            cp, targets, nv, k, block_size
+        )
+        return jax.lax.psum(jnp.sum(counts, dtype=jnp.int32), "d")
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d"), P("d")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_class_count_dict(mesh: Mesh, cp, targets, nvalids, k: int,
+                             block_size: int):
+    """Dictionary-coded class count over D*K blocks. cp: u8 plane stacks of
+    per-block dictionary codes; targets: per-block target CODES (len(dict)
+    on a miss — a value no point carries)."""
+    return _class_count_dict_fn(mesh, k, block_size)(cp, targets, nvalids)
+
+
 # ---------------------------------------------------------------------------
 # sharded collect: one dispatch compacts hit indices of D*K blocks at once.
 # The engine's collect path batches K blocks per chip per step exactly like
@@ -198,6 +252,26 @@ def _collect_fn(mesh: Mesh, kind: str, cap: int, extra: tuple = ()):
             return compact.masked_collect_multi(mask, cap=cap)
 
         in_specs = (P("d", None), P("d"), P("d"))
+    elif kind == "class_dict":
+        k, block_size = extra
+
+        def per_device(cp, targets, nv):
+            mask = predicate.class_mask_dict_jnp_multi(
+                cp, targets, nv, k, block_size
+            )
+            return compact.masked_collect_multi(mask, cap=cap)
+
+        in_specs = (P("d", None), P("d"), P("d"))
+    elif kind == "time_packed":
+        widths, block_size = extra
+
+        def per_device(thp, tlp, qs, nv):
+            mask = predicate.time_mask_packed_jnp_multi(
+                thp, tlp, qs, nv, widths, block_size
+            )
+            return compact.masked_collect_multi(mask, cap=cap)
+
+        in_specs = (P("d", None), P("d", None), P("d", None), P("d"))
     elif kind == "time":
         def per_device(ths, tls, qs, nv):
             mask = predicate.time_mask_jnp_multi(ths, tls, qs, nv)
