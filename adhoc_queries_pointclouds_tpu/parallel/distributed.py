@@ -250,6 +250,46 @@ def distributed_collect(
     return res.match_count, res
 
 
+def _allgather_i32_rows(rows: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """All-gather an (n, W) int32 matrix across processes -> (sum n, W).
+
+    Same padded-count scheme (and the same int32-not-int64 wire format, see
+    _allgather_keys) : each process contributes its row count in the header
+    slot, payload flattened after, padding sliced off by count."""
+    if jax.process_count() == 1:
+        return rows
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    W = rows.shape[1]
+    d_local = len(jax.local_devices())
+    maxn = max(_allreduce_max(len(rows), mesh), 1)
+    local = np.zeros((d_local, 1 + maxn * W), np.int32)
+    local[0, 0] = len(rows)
+    local[0, 1 : 1 + len(rows) * W] = np.ascontiguousarray(rows, np.int32).ravel()
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("d", None)), local,
+        (mesh.devices.size, local.shape[1]),
+    )
+    gathered = np.ascontiguousarray(
+        jax.jit(
+            shard_map(
+                lambda x: jax.lax.all_gather(x, "d", tiled=True),
+                mesh=mesh, in_specs=P("d", None), out_specs=P(),
+                check_vma=False,
+            )
+        )(arr)
+    )
+    parts = [
+        row[1 : 1 + row[0] * W].reshape(-1, W) for row in gathered if row[0] > 0
+    ]
+    if not parts:
+        return np.empty((0, W), np.int32)
+    return np.concatenate(parts, axis=0)
+
+
 def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
     """Union of winner cell keys across processes (u64, order irrelevant).
 
@@ -296,20 +336,59 @@ def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
     return np.concatenate(parts).view(np.uint64)
 
 
+def _host_output_dir(plan: QueryPlan) -> Path | None:
+    """Per-host output subdir for multi-process runs: every host names its
+    LAS dumps matching_points_{i} by LOCAL file index, so a shared directory
+    would collide across hosts."""
+    if plan.output_dir is None or jax.process_count() == 1:
+        return plan.output_dir
+    out = Path(plan.output_dir) / f"host{jax.process_index()}"
+    out.mkdir(parents=True, exist_ok=True)
+    return out
+
+
+def _winner_rows_i32(state, local_to_global) -> np.ndarray:
+    """WINNER_DTYPE state -> (n, 7) int32 wire rows:
+    key (2 words) | d2 bit pattern (2) | global file rank (1) | gidx (2)."""
+    n = 0 if state is None else len(state)
+    rows = np.zeros((n, 7), np.int32)
+    if n:
+        rows[:, 0:2] = np.ascontiguousarray(state["key"]).view(np.int32).reshape(n, 2)
+        rows[:, 2:4] = np.ascontiguousarray(state["d2"]).view(np.int32).reshape(n, 2)
+        rows[:, 4] = local_to_global(state["file_idx"].astype(np.int64)).astype(np.int32)
+        rows[:, 5:7] = np.ascontiguousarray(
+            state["gidx"].astype(np.int64)
+        ).view(np.int32).reshape(n, 2)
+    return rows
+
+
 def distributed_density(
     input_path: str | Path,
     plan: QueryPlan,
     *,
     block_size: int = 1 << 21,
 ) -> int:
-    """Max-density sampled count over all hosts' file shards.
+    """Max-density sampled count (and winner write-back) over all hosts'
+    file shards.
 
     Every host runs the local density pipeline (device candidate pruning +
     exact f64 host resolution) over its manifest shard against ONE shared
-    grid (global header bounds when the plan has no bbox). scope='file'
-    needs only a count all-reduce; scope='global' unions the winner cell
-    keys across hosts — the count is the number of distinct keys, which is
-    independent of cross-host tie resolution."""
+    grid (global header bounds when the plan has no bbox).
+
+    scope='file': winner sets are per-file and files never span hosts, so
+    each host writes its own files' winners (per-host output subdir) and
+    only the count is all-reduced.
+
+    scope='global': winners are resolved per cell key across hosts by an
+    all-gather of (key, d2 bits, global file rank, gidx) wire rows — 28 B
+    per candidate winner, never the point payload. The global champion per
+    key is the minimum by (d2, file rank, gidx), which equals the single
+    -process engine's insertion-order tie rule exactly (merge_winners_host
+    keeps the earlier-inserted on d2 ties, and single-process insertion
+    order IS ascending (file, gidx)). Each host then dumps only the winners
+    it owns, gathered from its own files — the reference's
+    GridSampledCollector + dump (collect_points.rs:100-127) lifted to
+    hosts."""
     from ..engine import discover_files, run_query
     from ..formats import open_point_cloud
     from ..utils.aabb import AABB
@@ -317,6 +396,8 @@ def distributed_density(
     all_files = discover_files(input_path)
     my_files = shard_manifest(all_files)
     mesh = global_mesh()
+    nproc = jax.process_count()
+    pid = jax.process_index()
 
     # shared grid bounds: the query box, or the union of ALL hosts' headers
     # (headers are cheap: every host reads every header)
@@ -329,17 +410,66 @@ def distributed_density(
             grid_bounds = grid_bounds.union(r.header.bounds)
             r.close()
 
+    scope = plan.density.scope
+    host_out = _host_output_dir(plan)
+    run_plan = plan
+    if scope == "file":
+        if host_out != plan.output_dir:
+            run_plan = dataclasses.replace(plan, output_dir=host_out)
+    elif nproc > 1 and plan.output_dir is not None:
+        # global scope, multi-host: suppress the local (unresolved) dump;
+        # the globally-resolved winners are written below
+        run_plan = dataclasses.replace(plan, output_dir=None)
+
     state_out: dict = {}
     if my_files:
         run_query(
-            my_files, plan, block_size=block_size,
+            my_files, run_plan, block_size=block_size,
             density_grid_bounds=grid_bounds, density_state_out=state_out,
         )
-    if plan.density.scope == "file":
+    if scope == "file":
         local = sum(
             len(s) for s in state_out.get("file", {}).values() if s is not None
         )
         return _allreduce_sum(local, mesh)
+
     g = state_out.get("global")
-    keys = g["key"] if g is not None and len(g) else np.empty(0, np.uint64)
-    return int(len(np.unique(_allgather_keys(np.asarray(keys), mesh))))
+    if nproc == 1:
+        # single process: run_query already wrote the merged output
+        return 0 if g is None else len(g)
+
+    # round-robin shard: local file j is global manifest entry j*nproc + pid
+    rows = _winner_rows_i32(g, lambda j: j * nproc + pid)
+    allrows = _allgather_i32_rows(rows, mesh)
+    if len(allrows) == 0:
+        return 0
+    keys = np.ascontiguousarray(allrows[:, 0:2]).view(np.uint64).ravel()
+    d2 = np.ascontiguousarray(allrows[:, 2:4]).view(np.float64).ravel()
+    rank = allrows[:, 4].astype(np.int64)
+    gidx = np.ascontiguousarray(allrows[:, 5:7]).view(np.int64).ravel()
+    # champion per key = lexicographic min of (d2, rank, gidx) within key
+    order = np.lexsort((gidx, rank, d2, keys))
+    k_sorted = keys[order]
+    first = np.ones(len(k_sorted), bool)
+    first[1:] = k_sorted[1:] != k_sorted[:-1]
+    win = order[first]
+    count = int(first.sum())
+
+    if plan.output_dir is not None:
+        from ..sinks import HitEmitter, concat_hits, gather_hits
+
+        mine = win[rank[win] % nproc == pid]
+        my_readers = [open_point_cloud(f) for f in my_files]
+        try:
+            parts = []
+            for r_rank in np.unique(rank[mine]):
+                j = int(r_rank) // nproc  # local file index
+                sel = mine[rank[mine] == r_rank]
+                parts.append(gather_hits(my_readers[j], np.sort(gidx[sel]), j))
+            emitter = HitEmitter(my_readers, output_dir=host_out)
+            emitter.emit_hits(-1, concat_hits(parts))
+            emitter.finalize_file(-1)
+        finally:
+            for r in my_readers:
+                r.close()
+    return count

@@ -19,6 +19,12 @@ parity with the single-process engine for every query kind:
   - density file-scope               (count all-reduce)
   - density global-scope             (winner-key all-gather + union)
   - density with no bbox             (grid from the GLOBAL header union)
+  - sidecar-index pruning            (clustered + indexed manifest: the
+                                      unified engine path must skip blocks
+                                      on BOTH hosts, counts unchanged)
+  - density global write-back        (cross-host winner resolution; the
+                                      union of per-host dumps equals the
+                                      single-process winner point set)
 
 Usage:
   python tools/dist2.py                 # parent: generate, spawn, verify
@@ -50,6 +56,10 @@ CLASS = 6
 DENSITY_CELL = 50.0
 DENSITY_CELL_NOBOX = 150.0
 BLOCK = 1 << 14
+# clustered + indexed manifest: a corner box over Morton-ordered files so
+# the sidecar index can actually skip blocks
+SMALL_BOX = ((100650.0, 200650.0, 0.0), (100980.0, 200980.0, 100.0))
+BLOCK_IDX = 1 << 12
 
 
 def free_port() -> int:
@@ -125,6 +135,27 @@ out["density_nobox"] = distributed.distributed_density(
     block_size=cfg["block"],
 )
 
+# sidecar-index pruning through the unified engine path (round-4: the
+# distributed driver IS run_query + DistStepComm, so the clustered +
+# pre-indexed manifest must produce index_skipped_blocks on every host)
+small = AABB(tuple(cfg["small_box"][0]), tuple(cfg["small_box"][1]))
+res = distributed.distributed_query(
+    Path(cfg["data_idx"]), QueryPlan(bounds=BoundsQuery(small)),
+    block_size=cfg["block_idx"],
+)
+out["indexed_count"] = res.match_count
+out["index_skipped_blocks"] = int(res.timer.counts.get("index_skipped_blocks", 0))
+
+# density global-scope winner write-back (cross-host key resolution)
+dd_out = Path(cfg["out_dir"]) / "density"
+dd_out.mkdir(parents=True, exist_ok=True)
+out["density_written"] = distributed.distributed_density(
+    data, QueryPlan(bounds=BoundsQuery(box),
+                    density=DensityConfig(cfg["cell"], "global"),
+                    output_dir=dd_out),
+    block_size=cfg["block"],
+)
+
 out["process_count"] = jax.process_count()
 Path(cfg["result"]).write_text(json.dumps(out))
 print(f"worker {cfg['pid']} done: {out}", flush=True)
@@ -141,6 +172,8 @@ def run_workers(data: Path, out_dir: Path, tmp: Path, timeout: float) -> list[di
             "box": BOX, "cls": CLASS, "time": TIME_RANGE,
             "cell": DENSITY_CELL, "cell_nobox": DENSITY_CELL_NOBOX,
             "out_dir": str(out_dir), "result": str(result),
+            "data_idx": str(data.parent.parent / "data_idx" / "last"),
+            "small_box": SMALL_BOX, "block_idx": BLOCK_IDX,
         }
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
@@ -218,10 +251,29 @@ def expected_single_process(data: Path) -> dict:
         ).match_count,
     }
     exp["collect_total"] = exp["bbox_count"]
+
+    # clustered + indexed manifest: single-process truth for the small box
+    data_idx = data.parent.parent / "data_idx" / "last"
+    exp["indexed_count"] = run_query(
+        data_idx, QueryPlan(bounds=BoundsQuery(AABB(*map(tuple, SMALL_BOX)))),
+        block_size=BLOCK_IDX,
+    ).match_count
+
+    # density global-scope winner truth: the engine's own merged output
+    exp_dd = data.parent.parent / "exp_density"
+    exp_dd.mkdir(parents=True, exist_ok=True)
+    run_query(
+        data,
+        QueryPlan(bounds=BoundsQuery(box),
+                  density=DensityConfig(DENSITY_CELL, "global"),
+                  output_dir=exp_dd),
+        block_size=BLOCK,
+    )
+    exp["density_written"] = exp["density_global"]
     return exp
 
 
-def verify(results: list[dict], exp: dict, data: Path) -> dict:
+def verify(results: list[dict], exp: dict, data: Path, tmp: Path) -> dict:
     import numpy as np
 
     from adhoc_queries_pointclouds_tpu.formats import LasFile
@@ -229,7 +281,8 @@ def verify(results: list[dict], exp: dict, data: Path) -> dict:
 
     report = {"expected": exp, "workers": results}
     for key in ("bbox_count", "class_count", "time_count", "collect_total",
-                "density_file", "density_global", "density_nobox"):
+                "density_file", "density_global", "density_nobox",
+                "indexed_count", "density_written"):
         vals = [r[key] for r in results]
         assert vals[0] == vals[1] == exp[key], (
             f"{key}: workers={vals} expected={exp[key]}"
@@ -252,6 +305,37 @@ def verify(results: list[dict], exp: dict, data: Path) -> dict:
             back.close()
     assert written == exp["bbox_count"], (written, exp["bbox_count"])
     report["written_points"] = written
+
+    # the unified engine path must have pruned blocks via the sidecar index
+    # (the corner box lives in ONE host's manifest shard; the other host's
+    # file is header-prefiltered before the index is even consulted)
+    skipped = [r["index_skipped_blocks"] for r in results]
+    assert sum(skipped) > 0, (
+        f"no index pruning through the distributed path: {results}"
+    )
+    report["index_skipped_blocks"] = skipped
+
+    # density global write-back: union of per-host winner dumps must equal
+    # the single-process engine's merged winner point set exactly
+    def las_rows(paths):
+        rows = []
+        for f in paths:
+            back = LasFile(Path(f))
+            w = back.positions_world()
+            rows += [tuple(np.round(p, 9)) for p in w]
+            back.close()
+        return sorted(rows)
+
+    exp_rows = las_rows(sorted((tmp / "exp_density").glob("*.las")))
+    got_rows = las_rows(sorted((tmp / "out" / "density").glob("host*/*.las")))
+    assert len(exp_rows) == exp["density_global"], (
+        len(exp_rows), exp["density_global"]
+    )
+    assert got_rows == exp_rows, (
+        f"distributed density winner set diverges: {len(got_rows)} vs "
+        f"{len(exp_rows)} points"
+    )
+    report["density_written_points"] = len(got_rows)
     return report
 
 
@@ -272,9 +356,25 @@ def main() -> int:
             seed=97, formats=("last",), point_format=1,
         )
         data = tmp / "data" / "last"
+        # clustered + pre-indexed manifest for the pruning assertion
+        from adhoc_queries_pointclouds_tpu import index as index_mod
+        from adhoc_queries_pointclouds_tpu.formats import open_point_cloud
+
+        synth.write_dataset(
+            tmp / "data_idx", n_files=2, points_per_file=args.points,
+            seed=98, formats=("last",), clustered=True,
+        )
+        for f in sorted((tmp / "data_idx" / "last").glob("*.last")):
+            r = open_point_cloud(f)
+            # index blocks at the engine block size: the default INDEX_BLOCK
+            # would cover these small fixture files with a single row
+            blocks, bmp, gps = index_mod.build_index(r, index_block=BLOCK_IDX)
+            index_mod.save_index(f, blocks, bmp, gps, index_block=BLOCK_IDX,
+                                 n_points=r.point_count)
+            r.close()
         results = run_workers(data, tmp / "out", tmp, args.timeout)
         exp = expected_single_process(data)
-        report = verify(results, exp, data)
+        report = verify(results, exp, data, tmp)
         print("PASS: 2-process distributed parity — "
               + ", ".join(f"{k}={v}" for k, v in exp.items()))
         if args.json:
