@@ -109,10 +109,24 @@ def _query_cmd(dataset_path: Path, extra: list[str]) -> list[str]:
     ] + _query_args(dataset_path, extra)
 
 
+_COUNT_RE = None
+
+
+def _parse_count(text: str) -> int | None:
+    """Match count from the CLI's 'Found N matching points' report."""
+    import re
+
+    global _COUNT_RE
+    if _COUNT_RE is None:
+        _COUNT_RE = re.compile(r"Found (\d+) matching points")
+    m = _COUNT_RE.search(text)
+    return int(m.group(1)) if m else None
+
+
 def execute_query(
     dataset_path: Path, extra: list[str], cold: bool = True, in_process: bool = False
-) -> float:
-    """One timed query run.
+) -> tuple[float, int | None]:
+    """One timed query run -> (seconds, match count or None).
 
     Default = fresh subprocess + cold page cache, the reference protocol
     (rs:29-75: it shells out to ./target/release/query after sync+purge).
@@ -124,18 +138,21 @@ def execute_query(
         reset_page_cache(dataset_path)
     if in_process:
         import contextlib
+        import io
 
         from .cli import main as cli_main
 
+        buf = io.StringIO()
         t0 = time.perf_counter()
-        # the engine's human-facing prints go to stderr so stdout stays a
-        # clean CSV (the subprocess path captures them instead)
-        with contextlib.redirect_stdout(sys.stderr):
+        # the engine's human-facing prints are captured so stdout stays a
+        # clean CSV (and the count can be parsed for cross-format parity)
+        with contextlib.redirect_stdout(buf):
             rc = cli_main(_query_args(dataset_path, extra))
         elapsed = time.perf_counter() - t0
+        sys.stderr.write(buf.getvalue())
         if rc != 0:
             raise RuntimeError(f"query failed on {dataset_path} (exit {rc})")
-        return elapsed
+        return elapsed, _parse_count(buf.getvalue())
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(
@@ -151,69 +168,115 @@ def execute_query(
     if proc.returncode != 0:
         print(proc.stderr, file=sys.stderr)
         raise RuntimeError(f"query failed on {dataset_path} (exit {proc.returncode})")
-    return elapsed
+    return elapsed, _parse_count(proc.stdout)
 
 
-def _stats_row(name: str, runtimes: list[float]) -> str:
+def _stats_row(name: str, runtimes: list[float], count: int | None) -> str:
+    """Reference CSV row (name;mean;median;stddev, rs:290-304) plus a fifth
+    match-count column so cross-format parity is auditable from the table."""
     mean = statistics.fmean(runtimes)
     median = statistics.median(runtimes)
     stddev = statistics.stdev(runtimes) if len(runtimes) > 1 else 0.0
-    return f"{name};{mean};{median};{stddev}"
+    return f"{name};{mean};{median};{stddev};{'' if count is None else count}"
+
+
+def _index_variants(index_mode: str) -> tuple[bool, ...]:
+    """index off = reference-comparable scans (the reference has no index);
+    index on = this engine's sidecar-index bonus column."""
+    return {"off": (False,), "on": (True,), "both": (False, True)}[index_mode]
+
+
+def _run_cell(
+    label: str, path: Path, extra: list[str], num_runs: int, cold: bool,
+    in_process: bool, use_index: bool, counts_by_cell: dict | None = None,
+    cell_key: str | None = None,
+) -> None:
+    label = label + ("_indexed" if use_index else "")
+    print(f"Experiment {label}...", file=sys.stderr)
+    if not use_index:
+        extra = extra + ["--no-index"]
+    results = [
+        execute_query(path, extra, cold, in_process) for _ in range(num_runs)
+    ]
+    counts = {c for _, c in results if c is not None}
+    if len(counts) > 1:
+        raise AssertionError(f"{label}: run-to-run counts diverge: {counts}")
+    count = counts.pop() if counts else None
+    if counts_by_cell is not None and cell_key is not None and count is not None:
+        # cross-format parity: every format of a (query, index) cell must
+        # report the identical match count (the paper's own parity check)
+        prev = counts_by_cell.setdefault(cell_key, count)
+        if prev != count:
+            raise AssertionError(
+                f"{label}: count {count} != {prev} from another format of "
+                f"cell {cell_key}"
+            )
+    print(_stats_row(label, [t for t, _ in results], count), flush=True)
 
 
 def run_aabb_experiments(
     in_path: Path, num_runs: int, dataset: str, *, cold: bool = True,
     formats: tuple[str, ...] = FORMATS, sizes: tuple[str, ...] = ("s", "l", "xl"),
     skip_density: bool = False, in_process: bool = False,
+    index_mode: str = "off",
 ) -> None:
     boxes = AABBS[dataset]
     density = DENSITIES[dataset]
+    counts_by_cell: dict = {}
     for bounds_name in sizes:
         b = boxes[bounds_name]
         bounds_str = ";".join(
             str(v) for v in (*b.min, *b.max)
         )
         for use_density in ((False,) if skip_density else (False, True)):
-            for ext in formats:
-                path = in_path / dataset / ext
-                label = (
-                    f"{dataset}_{bounds_name}_{'lod' if use_density else 'full'}_{ext}"
-                )
-                print(f"Experiment {label}...", file=sys.stderr)
-                # --bounds=STR form: argparse rejects a separate value token
-                # starting with '-' (negative mins; the reference's clap uses
-                # allow_hyphen_values for the same reason, main.rs:209)
-                extra = [f"--bounds={bounds_str}"]
-                if use_density:
-                    extra += ["--density", str(density), "--density-scope", "file"]
-                runtimes = [
-                    execute_query(path, extra, cold, in_process)
-                    for _ in range(num_runs)
-                ]
-                print(_stats_row(label, runtimes), flush=True)
+            for use_index in _index_variants(index_mode):
+                for ext in formats:
+                    path = in_path / dataset / ext
+                    label = (
+                        f"{dataset}_{bounds_name}_"
+                        f"{'lod' if use_density else 'full'}_{ext}"
+                    )
+                    # --bounds=STR form: argparse rejects a separate value
+                    # token starting with '-' (negative mins; the
+                    # reference's clap uses allow_hyphen_values, main.rs:209)
+                    extra = [f"--bounds={bounds_str}"]
+                    if use_density:
+                        extra += ["--density", str(density),
+                                  "--density-scope", "file"]
+                    _run_cell(
+                        label, path, extra, num_runs, cold, in_process,
+                        use_index, counts_by_cell,
+                        f"{bounds_name}_{use_density}_{use_index}",
+                    )
 
 
 def run_class_experiments(
     in_path: Path, num_runs: int, dataset: str, *, cold: bool = True,
     formats: tuple[str, ...] = FORMATS, in_process: bool = False,
+    index_mode: str = "off",
 ) -> None:
+    counts_by_cell: dict = {}
     for class_name, class_value in CLASS_EXPERIMENTS:
-        for ext in formats:
-            path = in_path / dataset / ext
-            label = f"{dataset}_{class_name}_{ext}"
-            print(f"Experiment {label}...", file=sys.stderr)
-            extra = ["--class", str(class_value)]
-            runtimes = [
-                execute_query(path, extra, cold, in_process) for _ in range(num_runs)
-            ]
-            print(_stats_row(label, runtimes), flush=True)
+        for use_index in _index_variants(index_mode):
+            for ext in formats:
+                path = in_path / dataset / ext
+                label = f"{dataset}_{class_name}_{ext}"
+                extra = ["--class", str(class_value)]
+                _run_cell(
+                    label, path, extra, num_runs, cold, in_process,
+                    use_index, counts_by_cell, f"{class_name}_{use_index}",
+                )
 
 
 def synthesize_dataset(
-    root: Path, dataset: str, n_files: int, points_per_file: int, seed: int = 0
+    root: Path, dataset: str, n_files: int, points_per_file: int, seed: int = 0,
+    clustered: bool = False,
 ) -> None:
     """Generate a synthetic stand-in with the experiment layout and world
-    extents matching the published query boxes (so S/L/XL have real bite)."""
+    extents matching the published query boxes (so S/L/XL have real bite).
+    clustered=True uses the Morton-ordered spatially-coherent generator —
+    the shape that makes index/full-scan comparisons meaningful (uniform
+    data gives every block the whole file's extent)."""
     from .formats import synth
 
     xl = AABBS[dataset]["xl"]
@@ -232,6 +295,7 @@ def synthesize_dataset(
         extent=extent,
         scale=(scale, scale, scale),
         classes=(1, 2, 3, 4, 5, 6),
+        clustered=clustered,
     )
 
 
@@ -256,6 +320,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--synthesize-files", type=int, default=4)
     parser.add_argument(
+        "--clustered", action="store_true",
+        help="Synthesize spatially-coherent (Morton-ordered clustered) data "
+             "instead of uniform random",
+    )
+    parser.add_argument(
+        "--index-mode", choices=("off", "on", "both"), default="off",
+        help="off = reference-comparable scans (no sidecar index; default), "
+             "on = sidecar-index runs, both = emit both tables "
+             "(_indexed label suffix)",
+    )
+    parser.add_argument(
         "--formats", default=",".join(FORMATS),
         help="Comma-separated subset of formats to run (default: all four)",
     )
@@ -279,10 +354,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.synthesize:
         print(f"Synthesizing {dataset} stand-in dataset...", file=sys.stderr)
-        synthesize_dataset(root, dataset, args.synthesize_files, args.synthesize)
+        synthesize_dataset(root, dataset, args.synthesize_files, args.synthesize,
+                           clustered=args.clustered)
 
     print(
-        "Running experiments... Output is: experiment_name;mean;median;stddev "
+        "Running experiments... Output is: "
+        "experiment_name;mean;median;stddev;match_count "
         "with runtimes in seconds",
         file=sys.stderr,
     )
@@ -292,11 +369,12 @@ def main(argv: list[str] | None = None) -> int:
             root, args.runs, dataset, cold=not args.warm, formats=formats,
             sizes=tuple(s for s in args.sizes.split(",") if s),
             skip_density=args.skip_density, in_process=args.in_process,
+            index_mode=args.index_mode,
         )
     else:
         run_class_experiments(
             root, args.runs, dataset, cold=not args.warm, formats=formats,
-            in_process=args.in_process,
+            in_process=args.in_process, index_mode=args.index_mode,
         )
     return 0
 
