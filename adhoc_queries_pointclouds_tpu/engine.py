@@ -277,7 +277,7 @@ def _packed_time_query(q_enc, base) -> np.ndarray:
 def _packed_class_cols(cls: np.ndarray, target: int, block_size: int) -> dict:
     """Dictionary-coded transport columns for one block's u8 class column.
 
-    codes are int32 dictionary indices (predicate.class_dict_encode); "t"
+    codes are u8 dictionary indices (predicate.class_dict_encode); "t"
     carries the target's code, or len(dict) — a code no point has — when
     the target class is absent; "np" the dictionary size so the count path
     can resolve absent/single-class blocks host-side with no device work."""
@@ -285,7 +285,7 @@ def _packed_class_cols(cls: np.ndarray, target: int, block_size: int) -> dict:
     pos = int(np.searchsorted(present, np.uint8(target)))
     tcode = pos if pos < len(present) and int(present[pos]) == int(target) else len(present)
     return {
-        "clsp": codes.astype(np.int32),
+        "clsp": codes,  # u8 end-to-end: pack_bits_into has a native u8 path
         "base": np.zeros(1, np.int64),
         "w": np.asarray(
             [predicate.class_dict_width(len(present), block_size)], np.int64

@@ -139,6 +139,13 @@ def load() -> ctypes.CDLL | None:
         lib.aqpc_pack_bits.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.aqpc_dict_encode_u8.restype = ctypes.c_int32
+        lib.aqpc_dict_encode_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.aqpc_pack_bits_u8.restype = None
+        lib.aqpc_pack_bits_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -225,5 +232,37 @@ def pack_bits(col_i32: np.ndarray, base: int, k: int, out_row: np.ndarray,
     assert out_row.dtype == np.uint8
     lib.aqpc_pack_bits(
         col_i32.ctypes.data_as(ctypes.c_void_p), len(col_i32), base, k,
+        out_row.ctypes.data_as(ctypes.c_void_p), block_size)
+    return True
+
+
+def dict_encode_u8(cls_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Single native pass over a u8 class column -> (present sorted u8,
+    codes u8), matching ops/predicate.class_dict_encode. None when the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    assert cls_u8.dtype == np.uint8 and cls_u8.flags.c_contiguous
+    codes = np.empty(len(cls_u8), np.uint8)
+    present = np.empty(256, np.uint8)
+    n_present = lib.aqpc_dict_encode_u8(
+        cls_u8.ctypes.data_as(ctypes.c_void_p), len(cls_u8),
+        codes.ctypes.data_as(ctypes.c_void_p),
+        present.ctypes.data_as(ctypes.c_void_p))
+    return present[:n_present].copy(), codes
+
+
+def pack_bits_u8(col_u8: np.ndarray, k: int, out_row: np.ndarray,
+                 block_size: int) -> bool:
+    """Native u8-input bit-plane packer (dictionary codes; base 0, k <= 8).
+    Returns False if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    assert col_u8.dtype == np.uint8 and col_u8.flags.c_contiguous
+    assert out_row.dtype == np.uint8 and 1 <= k <= 8
+    lib.aqpc_pack_bits_u8(
+        col_u8.ctypes.data_as(ctypes.c_void_p), len(col_u8), k,
         out_row.ctypes.data_as(ctypes.c_void_p), block_size)
     return True

@@ -522,4 +522,52 @@ void aqpc_pack_bits(const int32_t* col, int64_t n, int64_t base, int k,
   }
 }
 
+// Dictionary-encode one u8 classification column (ops/predicate.py
+// class_dict_encode): codes[i] = rank of cls[i] among the distinct values
+// present; present_out (capacity 256) receives those values sorted
+// ascending. Returns the dictionary size. Two sequential u8 passes at
+// memory speed — replaces numpy bincount + flatnonzero + LUT gather +
+// astype(int32) (~10 B/pt of host traffic) on the single-core host.
+int aqpc_dict_encode_u8(const uint8_t* cls, int64_t n, uint8_t* codes,
+                        uint8_t* present_out) {
+  uint8_t seen[256];
+  std::memset(seen, 0, sizeof(seen));
+  for (int64_t i = 0; i < n; i++) seen[cls[i]] = 1;
+  uint8_t lut[256];
+  std::memset(lut, 0, sizeof(lut));
+  int n_present = 0;
+  for (int v = 0; v < 256; v++) {
+    if (seen[v]) {
+      present_out[n_present] = (uint8_t)v;
+      lut[v] = (uint8_t)n_present;
+      n_present++;
+    }
+  }
+  for (int64_t i = 0; i < n; i++) codes[i] = lut[cls[i]];
+  return n_present;
+}
+
+// u8-input variant of aqpc_pack_bits for dictionary codes (base always 0,
+// k <= 8): k == 8 is a straight byte-plane copy; otherwise k little-order
+// bit planes at q*(block_size/8), identical layout to aqpc_pack_bits with
+// nbytes == 0. Keeps the class transport chain u8 end-to-end (no int32
+// widening pass).
+void aqpc_pack_bits_u8(const uint8_t* col, int64_t n, int k, uint8_t* out,
+                       int64_t block_size) {
+  if (k >= 8) {
+    std::memcpy(out, col, (size_t)n);
+    return;
+  }
+  const int64_t bb = block_size / 8;
+  for (int64_t i0 = 0; i0 < n; i0 += 8) {
+    uint8_t acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    const int m = (int)((n - i0 < 8) ? (n - i0) : 8);
+    for (int j = 0; j < m; j++) {
+      const uint8_t r = col[i0 + j];
+      for (int q = 0; q < k; q++) acc[q] |= (uint8_t)(((r >> q) & 1u) << j);
+    }
+    for (int q = 0; q < k; q++) out[(int64_t)q * bb + i0 / 8] = acc[q];
+  }
+}
+
 }  // extern "C"

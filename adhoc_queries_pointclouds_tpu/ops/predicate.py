@@ -431,11 +431,23 @@ def pack_bits_into(out_row, col_i32, k: int, base: int, block_size: int) -> None
     out_row: (nbytes*B + nbits*(B//8),) u8 slice of the step operand; col
     may be shorter than B (ragged tail: trailing plane bytes are left
     unwritten — every kernel masks by n_valid). Uses the single-pass native
-    packer when available (the numpy path is ~k/4 strided passes)."""
+    packer when available (the numpy path is ~k/4 strided passes). A u8
+    col (dictionary codes, base 0, k <= 8) stays u8 through the native
+    packer — no int32 widening pass on the host."""
     import numpy as np
 
     from ..native import pack_bits as native_pack_bits
+    from ..native import pack_bits_u8 as native_pack_bits_u8
 
+    if (
+        getattr(col_i32, "dtype", None) == np.uint8
+        and base == 0
+        and 1 <= k <= 8
+        and out_row.flags.c_contiguous
+    ):
+        col8 = np.ascontiguousarray(col_i32, np.uint8)
+        if native_pack_bits_u8(col8, k, out_row, block_size):
+            return
     col = np.ascontiguousarray(col_i32, np.int32)
     if out_row.flags.c_contiguous and native_pack_bits(
         col, base, k, out_row, block_size
@@ -550,15 +562,23 @@ def time_mask_packed_jnp_multi(thp, tlp, qs, nvs, widths, block_size):
 def class_dict_encode(cls_u8):
     """One block's u8 class column -> (present values sorted u8, codes u8).
 
-    codes[i] = index of cls_u8[i] in present (dense, 0-based). One bincount
-    pass + one 256-entry LUT gather — cheap next to the link bytes saved."""
+    codes[i] = index of cls_u8[i] in present (dense, 0-based). Native path:
+    one C pass (presence table + LUT gather) at memory speed; numpy
+    fallback: bincount + 256-entry LUT gather (~3x the host traffic, which
+    matters on this single-core box)."""
     import numpy as np
 
-    counts = np.bincount(cls_u8, minlength=256)
+    from ..native import dict_encode_u8 as native_dict_encode
+
+    col = np.ascontiguousarray(cls_u8, np.uint8)
+    native = native_dict_encode(col)
+    if native is not None:
+        return native
+    counts = np.bincount(col, minlength=256)
     present = np.flatnonzero(counts).astype(np.uint8)
     lut = np.zeros(256, np.uint8)
     lut[present] = np.arange(len(present), dtype=np.uint8)
-    return present, lut[cls_u8]
+    return present, lut[col]
 
 
 def class_dict_width(n_present: int, block_size: int) -> int:

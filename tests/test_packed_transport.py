@@ -136,6 +136,45 @@ class TestPackedTimeKernels:
 
 
 class TestClassDictEncode:
+    def test_native_matches_numpy_fallback(self):
+        """aqpc_dict_encode_u8 == the pure-numpy bincount/LUT path."""
+        from adhoc_queries_pointclouds_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        for n in [0, 1, 7, 8, 513, 100_003]:
+            cls = rng.choice(
+                np.asarray([0, 2, 5, 6, 9, 64, 255], np.uint8), size=n
+            )
+            got = native.dict_encode_u8(np.ascontiguousarray(cls))
+            counts = np.bincount(cls, minlength=256)
+            present = np.flatnonzero(counts).astype(np.uint8)
+            lut = np.zeros(256, np.uint8)
+            lut[present] = np.arange(len(present), dtype=np.uint8)
+            np.testing.assert_array_equal(got[0], present)
+            np.testing.assert_array_equal(got[1], lut[cls])
+
+    @pytest.mark.parametrize("k", [1, 2, 4, 8])
+    def test_native_u8_packer_matches_i32_packer(self, k):
+        """aqpc_pack_bits_u8 writes the identical plane layout to
+        aqpc_pack_bits on the widened column (base 0)."""
+        from adhoc_queries_pointclouds_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        B = 1 << 9
+        rng = np.random.default_rng(k)
+        for n in [1, 7, 8, 9, B - 3, B]:
+            codes = rng.integers(0, 1 << k, size=n).astype(np.uint8)
+            row8 = np.full(P.packed_row_width(k, B), 0xAB, np.uint8)
+            row32 = np.full(P.packed_row_width(k, B), 0xAB, np.uint8)
+            assert native.pack_bits_u8(codes, k, row8, B)
+            assert native.pack_bits(
+                np.ascontiguousarray(codes, np.int32), 0, k, row32, B
+            )
+            np.testing.assert_array_equal(row8, row32)
+
     def test_roundtrip_all_256(self):
         cls = np.arange(256, dtype=np.uint8).repeat(3)
         present, codes = P.class_dict_encode(cls)
