@@ -793,6 +793,7 @@ def _run_count(
             flush([])
             flushed += 1
         drain(0)
+    timer.seconds["decode_cpu"] += feeder.decode_seconds
 
     return comm.finish_total(device_total, host_total), [], []
 
@@ -1260,6 +1261,7 @@ def _run_collect_mesh(
             emit_thread.join()
         if emit_error:
             raise emit_error[0]
+    timer.seconds["decode_cpu"] += feeder.decode_seconds
 
 
 def _run_density(
@@ -1498,6 +1500,7 @@ def _run_density(
             if batch:
                 flush(batch)
             drain(0)
+            timer.seconds["decode_cpu"] += feeder.decode_seconds
 
             if scope == "file":
                 if state_out is not None:

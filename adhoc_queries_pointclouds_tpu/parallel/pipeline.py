@@ -16,6 +16,8 @@ bounds, and the valid count.
 from __future__ import annotations
 
 import dataclasses
+import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Sequence
 
@@ -71,12 +73,20 @@ class BlockFeeder:
         # -block step operands copy each column exactly once (into its step
         # -buffer row) instead of pad-copy + stack-copy
         self._pad = pad
+        # summed wall time inside load_fn across worker threads: the host
+        # decode cost of the scan (>= wall clock when workers overlap; on a
+        # single-core host it is effectively decode CPU time)
+        self.decode_seconds = 0.0
+        self._dt_lock = threading.Lock()
 
     def _make(self, t: tuple[int, int, int, int]) -> BlockTask:
         file_idx, block_idx, start, stop = t
+        t0 = time.perf_counter()
         cols = self._load(file_idx, start, stop)
         if self._pad:
             cols = {k: pad_to(v, self._block_size) for k, v in cols.items()}
+        with self._dt_lock:
+            self.decode_seconds += time.perf_counter() - t0
         lo, hi = self._file_bounds.get(file_idx, (None, None))
         return BlockTask(
             file_idx=file_idx,

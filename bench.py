@@ -191,10 +191,16 @@ def kernel_and_rooflines(lo, hi) -> dict:
         # init add counts as pass 1, so ITERS-1 loop trips = ITERS passes
         return jax.lax.fori_loop(0, ITERS - 1, body, a + v0)[0]
 
-    reduce_loop = loop(lambda a, b, c, k: jnp.sum(a + k, dtype=jnp.int32))
+    # maximum(a, k), NOT a + k: sum(a + k) factors to sum(a) + n*k, which
+    # XLA hoists out of the loop — the probe would then time one pass (or
+    # pure scalar work), not ITERS passes. max is not factorable.
+    reduce_loop = loop(
+        lambda a, b, c, k: jnp.sum(jnp.maximum(a, k), dtype=jnp.int32))
     # traffic-mix-matched ceiling for the bbox kernel: 3 int32 streams read,
     # one scalar out — the same 12 B/pt the kernel moves, minus the predicate
-    read3_loop = loop(lambda a, b, c, k: jnp.sum(a + b + c + k, dtype=jnp.int32))
+    read3_loop = loop(lambda a, b, c, k: jnp.sum(
+        jnp.maximum(a, k) + jnp.maximum(b, k) + jnp.maximum(c, k),
+        dtype=jnp.int32))
 
     def cls_unpacked(a, b, c, k):
         f = predicate.class_count_pallas if on_tpu else predicate.class_count_jnp

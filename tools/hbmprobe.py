@@ -80,13 +80,17 @@ def build_ops(iters: int):
         "copy_f32": (8, lambda n, k: (_rand_i32(k, n).astype("float32"),),
                      carry_loop(lambda a, v0: a[0] + v0.astype("float32"),
                                 lambda arr, k, a: arr + k.astype("float32"))),
-        # pure reduction: n*4 rd, scalar out
+        # pure reduction: n*4 rd, scalar out. maximum(a, d), NOT a + d: the
+        # linear form factors to sum(a) + n*d, which XLA hoists out of the
+        # fori_loop — the "probe" then measures one pass, not ITERS (seen
+        # as read3 "1535 GB/s", above silicon spec). max can't be factored.
         "reduce_i32": (4, lambda n, k: (_rand_i32(k, n),), scalar_loop(
-            lambda a, d: jnp.sum(a[0] + d, dtype=jnp.int32))),
+            lambda a, d: jnp.sum(jnp.maximum(a[0], d), dtype=jnp.int32))),
         # 1 B/el reduction — element-rate vs byte-rate discriminator
         "reduce_i8": (1, lambda n, k: (_rand_i32(k, n).astype("int8"),),
                       scalar_loop(lambda a, d: jnp.sum(
-                          a[0] + d.astype(jnp.int8), dtype=jnp.int32))),
+                          jnp.maximum(a[0], d.astype(jnp.int8)),
+                          dtype=jnp.int32))),
         # two-operand add, loop-carried: 2n*4 rd + n*4 wr per pass
         "add2_i32": (12, lambda n, k: (_rand_i32(k, n), _rand_i32(k + 1, n)),
                      carry_loop(lambda a, v0: a[0] + v0,
@@ -95,7 +99,8 @@ def build_ops(iters: int):
         "read3_i32": (12, lambda n, k: tuple(_rand_i32(k + i, n)
                                              for i in range(3)),
                       scalar_loop(lambda a, d: jnp.sum(
-                          a[0] + a[1] + a[2] + d, dtype=jnp.int32))),
+                          jnp.maximum(a[0], d) + jnp.maximum(a[1], d)
+                          + jnp.maximum(a[2], d), dtype=jnp.int32))),
         # the engine's fused bbox predicate (3 streams rd): 12 B/pt
         "bbox": (12, _bbox_args, _bbox_loop(scalar_loop)),
     }
@@ -156,27 +161,43 @@ def main() -> None:
           f"rounds={rounds}", flush=True)
 
     # One size at a time (all ops' operands for 256M els is ~8 GiB HBM —
-    # holding every size at once would blow the 16 GiB budget). The op-vs-op
-    # comparison that detects headroom happens WITHIN a size, where all ops
-    # share one round-robin window; the cross-size slope fit tolerates
-    # window drift because each size keeps its per-cell min.
+    # holding every size at once would blow the 16 GiB budget). Within a
+    # size, ops are greedily grouped so the group's combined operands stay
+    # under ~11 GiB (at 512M els all ops together need ~20 GiB): ops in one
+    # group share a round-robin window; cross-group/-size comparisons rely
+    # on the per-cell min absorbing window drift.
+    operand_bytes = {"copy_i32": 4, "copy_f32": 4, "reduce_i32": 4,
+                     "reduce_i8": 1, "add2_i32": 8, "read3_i32": 12,
+                     "bbox": 12}
+    hbm_budget = 11 * 2**30
     times: dict[tuple[str, int], list[float]] = {}
     for n in sizes:
-        cells = {}
+        groups, cur, cur_bytes = [], [], 0
         for name in names:
-            bpe, make, loop = ops[name]
-            data = make(n, sum(map(ord, name)) % 97)
-            jax.block_until_ready(data)
-            loop(data, jnp.int32(0))  # compile + warm
-            cells[name] = (data, loop)
-        for r in range(rounds):
-            for name, (data, loop) in cells.items():
-                t0 = time.perf_counter()
-                int(loop(data, jnp.int32(1 + r)))
-                times.setdefault((name, n), []).append(
-                    (time.perf_counter() - t0) / iters)
+            b = operand_bytes.get(name, 12) * n
+            if cur and cur_bytes + b > hbm_budget:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(name)
+            cur_bytes += b
+        if cur:
+            groups.append(cur)
+        for group in groups:
+            cells = {}
+            for name in group:
+                bpe, make, loop = ops[name]
+                data = make(n, sum(map(ord, name)) % 97)
+                jax.block_until_ready(data)
+                loop(data, jnp.int32(0))  # compile + warm
+                cells[name] = (data, loop)
+            for r in range(rounds):
+                for name, (data, loop) in cells.items():
+                    t0 = time.perf_counter()
+                    int(loop(data, jnp.int32(1 + r)))
+                    times.setdefault((name, n), []).append(
+                        (time.perf_counter() - t0) / iters)
+            del cells
         print(f"size {n // 2**20}M done", flush=True)
-        del cells
 
     # Per-op slope fit: t(n) = floor + slope * n  (min over rounds per cell)
     report = {}

@@ -108,15 +108,18 @@ class RssTracker:
         return self.peak_anon
 
 
-def file_paths(root: Path, n_files: int) -> list[Path]:
-    return [root / "last" / f"file_{i}.last" for i in range(n_files)]
+def file_paths(root: Path, n_files: int, fmt: str = "last") -> list[Path]:
+    return [root / fmt / f"file_{i}.{fmt}" for i in range(n_files)]
 
 
-def generate(root: Path, n_files: int, pts_per_file: int) -> None:
+def generate(root: Path, n_files: int, pts_per_file: int,
+             fmt: str = "last") -> None:
     from adhoc_queries_pointclouds_tpu.formats import synth
 
-    (root / "last").mkdir(parents=True, exist_ok=True)
-    for i, path in enumerate(file_paths(root, n_files)):
+    writer = {"last": synth.write_cloud_last, "lazer": synth.write_cloud_lazer,
+              "laz": synth.write_cloud_laz}[fmt]
+    (root / fmt).mkdir(parents=True, exist_ok=True)
+    for i, path in enumerate(file_paths(root, n_files, fmt)):
         if path.exists() and path.stat().st_size > 0:
             continue
         t0 = time.time()
@@ -125,20 +128,20 @@ def generate(root: Path, n_files: int, pts_per_file: int) -> None:
             offset=(BASE_OFFSET[0] + i * EXTENT[0], BASE_OFFSET[1], BASE_OFFSET[2]),
             extent=EXTENT,
         )
-        synth.write_cloud_last(cloud, path)
+        writer(cloud, path)
         del cloud
         print(f"generated {path.name}: {pts_per_file / 1e6:.0f} Mpts "
               f"in {time.time() - t0:.0f}s", flush=True)
 
 
-def oracle(root: Path, n_files: int) -> dict:
+def oracle(root: Path, n_files: int, fmt: str = "last") -> dict:
     """Exact per-file NumPy f64 oracle, Python-int totals."""
     from adhoc_queries_pointclouds_tpu.formats import open_point_cloud
 
     xlb = xl_box(n_files)
     pb = partial_box(n_files)
     totals = {"points": 0, "xl": 0, "cls": 0, "partial": 0}
-    for path in file_paths(root, n_files):
+    for path in file_paths(root, n_files, fmt):
         r = open_point_cloud(path)
         n = r.point_count
         chunk = 16_000_000
@@ -154,27 +157,29 @@ def oracle(root: Path, n_files: int) -> dict:
     return totals
 
 
-def run(root: Path, n_files: int, out_json: Path | None) -> int:
+def run(root: Path, n_files: int, out_json: Path | None,
+        fmt: str = "last") -> int:
     from adhoc_queries_pointclouds_tpu.engine import run_query
     from adhoc_queries_pointclouds_tpu.models.query import (
         BoundsQuery, ClassQuery, QueryPlan,
     )
 
-    files = [p for p in file_paths(root, n_files) if p.exists()]
+    files = [p for p in file_paths(root, n_files, fmt) if p.exists()]
     assert len(files) == n_files, f"dataset incomplete: {len(files)}/{n_files}"
-    ds = root / "last"
+    ds = root / fmt
 
     oracle_path = root / "oracle.json"
     if oracle_path.exists():
         truth = json.loads(oracle_path.read_text())
     else:
-        truth = oracle(root, n_files)
+        truth = oracle(root, n_files, fmt)
         oracle_path.write_text(json.dumps(truth))
     print(f"oracle totals: {truth}", flush=True)
-    assert truth["xl"] == truth["points"] >= 2**31, "XL box must cover all points"
+    assert truth["xl"] == truth["points"], "XL box must cover all points"
 
     rss = RssTracker()
-    report = {"oracle": truth, "n_files": n_files}
+    report = {"oracle": truth, "n_files": n_files, "format": fmt,
+              "crossed_2_31_hits": truth["points"] >= 2**31}
 
     def one(label, plan, expect, **kw):
         t0 = time.time()
@@ -182,11 +187,18 @@ def run(root: Path, n_files: int, out_json: Path | None) -> int:
         dt = time.time() - t0
         ok = res.match_count == expect
         mpts = truth["points"] / dt / 1e6
+        decode = res.timer.seconds.get("decode_cpu", 0.0)
+        scan = res.timer.seconds.get("scan", 0.0)
         print(f"{label}: {res.match_count} (expect {expect}) "
               f"{'OK' if ok else 'MISMATCH'} in {dt:.0f}s = {mpts:.1f} Mpts/s "
-              f"(peak anon RSS {rss.peak_anon / 2**30:.1f} GiB)", flush=True)
+              f"(decode {decode:.0f}s of {scan:.0f}s scan; "
+              f"peak anon RSS {rss.peak_anon / 2**30:.1f} GiB)", flush=True)
         report[label] = {"count": res.match_count, "expect": expect, "ok": ok,
-                         "seconds": round(dt, 1), "mpts": round(mpts, 1)}
+                         "seconds": round(dt, 1), "mpts": round(mpts, 1),
+                         "decode_cpu_s": round(decode, 1),
+                         "scan_s": round(scan, 1),
+                         "decode_mpts": round(
+                             truth["points"] / max(decode, 1e-9) / 1e6, 1)}
         return ok
 
     ok = True
@@ -218,15 +230,19 @@ def main() -> int:
     ap.add_argument("--root", type=Path, default=Path("/root/paperscale"))
     ap.add_argument("--files", type=int, default=35)
     ap.add_argument("--pts-per-file", type=int, default=64_000_000)
+    ap.add_argument("--format", choices=["last", "lazer", "laz"],
+                    default="last",
+                    help="container to generate/scan (VERDICT r3 item 6: "
+                         "compressed-format scale run)")
     ap.add_argument("--json", type=Path, default=None)
     args = ap.parse_args()
     if args.cmd in ("generate", "all"):
-        generate(args.root, args.files, args.pts_per_file)
+        generate(args.root, args.files, args.pts_per_file, args.format)
     if args.cmd == "oracle":
-        truth = oracle(args.root, args.files)
+        truth = oracle(args.root, args.files, args.format)
         (args.root / "oracle.json").write_text(json.dumps(truth))
     if args.cmd in ("run", "all"):
-        return run(args.root, args.files, args.json)
+        return run(args.root, args.files, args.json, args.format)
     return 0
 
 
