@@ -1301,17 +1301,25 @@ def _run_density(
             np.int32,
         )
 
+    pack = _pack_transport_enabled()
+
     def load(file_idx, start, stop):
         r = readers[file_idx]
         pos = r.column("position", start, stop)
         collector = index_collectors.get(file_idx)
         if collector is not None:
             collector.update(start, pos)
-        cols = {
-            "x": np.ascontiguousarray(pos[:, 0]),
-            "y": np.ascontiguousarray(pos[:, 1]),
-            "z": np.ascontiguousarray(pos[:, 2]),
-        }
+        if pack:
+            # bit-planar xyz transport (raw columns kept under xp/yp/zp,
+            # residualized at stack time) — density was the last raw
+            # 12 B/pt path and the tunnel link is the density bottleneck
+            cols = _packed_xyz_cols(pos, block_size)
+        else:
+            cols = {
+                "x": np.ascontiguousarray(pos[:, 0]),
+                "y": np.ascontiguousarray(pos[:, 1]),
+                "z": np.ascontiguousarray(pos[:, 2]),
+            }
         if is_time:
             th, tl = predicate.encode_f64_sortable(
                 r.column("gps_time", start, stop)
@@ -1377,15 +1385,22 @@ def _run_density(
                 pad=False,
             )
 
+            def xyz_col(task, axis):
+                # packed loads keep the raw absolute columns under xp/yp/zp
+                # (residualization happens at stack time), so single-block
+                # retry/merge paths read them directly either way
+                return task.columns[("xp", "yp", "zp")[axis] if pack
+                                    else "xyz"[axis]]
+
             def pred_mask_dev(task):
                 from .parallel.pipeline import pad_to
 
                 nv = jnp.asarray(task.n_valid, jnp.int32)
                 if kind == "bbox":
                     return predicate.bbox_mask(
-                        jnp.asarray(pad_to(task.columns["x"], block_size)),
-                        jnp.asarray(pad_to(task.columns["y"], block_size)),
-                        jnp.asarray(pad_to(task.columns["z"], block_size)),
+                        jnp.asarray(pad_to(xyz_col(task, 0), block_size)),
+                        jnp.asarray(pad_to(xyz_col(task, 1), block_size)),
+                        jnp.asarray(pad_to(xyz_col(task, 2), block_size)),
                         jnp.asarray(task.lo), jnp.asarray(task.hi), nv,
                     )
                 if kind == "time":
@@ -1405,9 +1420,9 @@ def _run_density(
                     return
                 xyz = np.stack(
                     [
-                        task.columns["x"][local_idx],
-                        task.columns["y"][local_idx],
-                        task.columns["z"][local_idx],
+                        xyz_col(task, 0)[local_idx],
+                        xyz_col(task, 1)[local_idx],
+                        xyz_col(task, 2)[local_idx],
                     ],
                     axis=1,
                 ).astype(np.float64)
@@ -1425,9 +1440,9 @@ def _run_density(
 
                 cap2 = compact.pow2_bucket(count, block_size)
                 _, idx2 = density_ops.block_density_candidates(
-                    jnp.asarray(pad_to(task.columns["x"], block_size)),
-                    jnp.asarray(pad_to(task.columns["y"], block_size)),
-                    jnp.asarray(pad_to(task.columns["z"], block_size)),
+                    jnp.asarray(pad_to(xyz_col(task, 0), block_size)),
+                    jnp.asarray(pad_to(xyz_col(task, 1), block_size)),
+                    jnp.asarray(pad_to(xyz_col(task, 2), block_size)),
                     pred_mask_dev(task),
                     task.n_valid, tables_dev, cap=cap2,
                 )
@@ -1439,34 +1454,55 @@ def _run_density(
                 rows = ((len(batch) + d - 1) // d) * d
                 pad = rows - len(batch)
                 nvs = np.asarray([t.n_valid for t in batch] + [0] * pad, np.int32)
-                xs = _stack_rows(batch, "x", rows, block_size, np.int32)
-                ys = _stack_rows(batch, "y", rows, block_size, np.int32)
-                zs = _stack_rows(batch, "z", rows, block_size, np.int32)
+                if pack:
+                    wmax = (
+                        np.maximum.reduce([t.columns["w"] for t in batch])
+                        if batch else np.zeros(3, np.int64)
+                    )
+                    xs = _stack_planes(batch, "xp", 0, rows, int(wmax[0]),
+                                       block_size)
+                    ys = _stack_planes(batch, "yp", 1, rows, int(wmax[1]),
+                                       block_size)
+                    zs = _stack_planes(batch, "zp", 2, rows, int(wmax[2]),
+                                       block_size)
+                    bases = np.stack(
+                        [t.columns["base"].astype(np.int32) for t in batch]
+                        + [np.zeros(3, np.int32)] * pad
+                    )
+                    head = (xs, ys, zs, bases)
+                else:
+                    xs = _stack_rows(batch, "x", rows, block_size, np.int32)
+                    ys = _stack_rows(batch, "y", rows, block_size, np.int32)
+                    zs = _stack_rows(batch, "z", rows, block_size, np.int32)
+                    head = (xs, ys, zs)
                 if kind == "bbox":
-                    arrays = (
-                        xs, ys, zs,
+                    tail = (
                         np.stack([t.lo for t in batch] + [np.zeros(3, np.int32)] * pad),
                         np.stack([t.hi for t in batch] + [np.zeros(3, np.int32)] * pad),
                         nvs,
                     )
                 elif kind == "time":
-                    arrays = (
-                        xs, ys, zs,
+                    tail = (
                         _stack_rows(batch, "th", rows, block_size, np.int32),
                         _stack_rows(batch, "tl", rows, block_size, np.int32),
                         np.tile(q_enc, (rows, 1)),
                         nvs,
                     )
                 else:
-                    arrays = (
-                        xs, ys, zs,
+                    tail = (
                         _stack_rows(batch, "cls", rows, block_size, np.uint8),
                         np.full(rows, plan.classification.classification, np.int32),
                         nvs,
                     )
-                counts_dev, idx_dev = mesh_mod.sharded_density(
-                    mesh, kind, arrays, tables_dev, cap
-                )
+                if pack:
+                    counts_dev, idx_dev = mesh_mod.sharded_density_packed(
+                        mesh, kind, head + tail, tables_dev, cap,
+                        (int(wmax[0]), int(wmax[1]), int(wmax[2])), block_size,
+                    )
+                else:
+                    counts_dev, idx_dev = mesh_mod.sharded_density(
+                        mesh, kind, head + tail, tables_dev, cap
+                    )
                 pending.append((batch, counts_dev, idx_dev, cap))
                 drain(current_inflight() - 1)
 

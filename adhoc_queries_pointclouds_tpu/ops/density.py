@@ -373,9 +373,16 @@ def block_density_candidates(x, y, z, pred_mask, n_valid, tables, *, cap: int):
 
 def density_candidates_multi(xs, ys, zs, masks, nvs, tables, cap: int):
     """(K, B) blocks, shared per-file tables -> (counts (K,), idx (K, cap)).
-    vmap over blocks; tables broadcast. Traced inside the sharded step."""
 
-    def one(x, y, z, m, nv):
+    lax.map (scan) over the K blocks, NOT vmap: a batched variadic
+    lax.sort lowers ~20x slower on TPU than K independent sorts (measured
+    2.0 s vs 0.2 s for 4 x 2M blocks on v5e). scan over single-block
+    bodies keeps that speed while compiling the body ONCE — a statically
+    unrolled loop was equally fast but ~K x the HLO, pushing the step's
+    (remote) compile to minutes. Traced inside the sharded step."""
+
+    def one(args):
+        x, y, z, m, nv = args
         return _density_candidates_1(
             x, y, z, m, nv,
             tables["bx"], tables["by"], tables["bz"],
@@ -385,7 +392,7 @@ def density_candidates_multi(xs, ys, zs, masks, nvs, tables, cap: int):
             tables["dims"], tables["eps_abs"], cap,
         )
 
-    return jax.vmap(one)(xs, ys, zs, masks, nvs)
+    return jax.lax.map(one, (xs, ys, zs, masks, nvs))
 
 
 def merge_winners_host(state: np.ndarray | None, new: np.ndarray) -> np.ndarray:

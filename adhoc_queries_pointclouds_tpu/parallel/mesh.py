@@ -358,6 +358,61 @@ def sharded_density(mesh: Mesh, kind: str, arrays: tuple, tables: dict, cap: int
     return _density_fn(mesh, kind, cap)(*(arrays + vals))
 
 
+@functools.lru_cache(maxsize=32)
+def _density_packed_fn(mesh: Mesh, kind: str, cap: int,
+                       widths: tuple, block_size: int):
+    """Packed-transport density step: xyz ride the link as k-bit residual
+    planes (like the bbox collect path) and are reconstructed to ABSOLUTE
+    int32 on device (residual + per-block base; exact — sub-32 widths cap
+    residuals at 2^28 and k == 32 forces base = 0), because the density
+    boundary tables live in absolute file-local coordinates."""
+    from ..ops import density as density_ops
+
+    nt = len(_DENSITY_TABLE_KEYS)
+
+    def per_device(*args):
+        tbl = dict(zip(_DENSITY_TABLE_KEYS, args[-nt:]))
+        xp, yp, zp, bases = args[:4]
+        xs = predicate.unpack_bits_jnp(xp, widths[0], block_size) + bases[:, 0:1]
+        ys = predicate.unpack_bits_jnp(yp, widths[1], block_size) + bases[:, 1:2]
+        zs = predicate.unpack_bits_jnp(zp, widths[2], block_size) + bases[:, 2:3]
+        if kind == "bbox":
+            los, his, nv = args[4:-nt]
+            mask = predicate.bbox_mask_jnp_multi(xs, ys, zs, los, his, nv)
+        elif kind == "class":
+            cls, targets, nv = args[4:-nt]
+            mask = predicate.class_mask_jnp_multi(cls, targets, nv)
+        else:
+            ths, tls, qs, nv = args[4:-nt]
+            mask = predicate.time_mask_jnp_multi(ths, tls, qs, nv)
+        return density_ops.density_candidates_multi(xs, ys, zs, mask, nv, tbl, cap)
+
+    pred_specs = {
+        "bbox": (P("d", None),) * 2 + (P("d"),),  # lo hi nv
+        "class": (P("d", None), P("d"), P("d")),  # cls tgt nv
+        "time": (P("d", None),) * 3 + (P("d"),),  # th tl q nv
+    }[kind]
+    in_specs = (P("d", None),) * 4 + pred_specs + (P(),) * nt
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("d"), P("d", None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_density_packed(mesh: Mesh, kind: str, arrays: tuple, tables: dict,
+                           cap: int, widths: tuple, block_size: int):
+    """Packed-transport variant of sharded_density. arrays = (xp, yp, zp,
+    bases (D*K, 3) int32, <predicate extras>, nvs)."""
+    vals = tuple(tables[k] for k in _DENSITY_TABLE_KEYS)
+    return _density_packed_fn(mesh, kind, cap, widths, block_size)(
+        *(arrays + vals)
+    )
+
+
 def sharded_bbox_count(mesh: Mesh, xs, ys, zs, los, his, nvalids, impl: str = "auto"):
     """Count bbox hits across D*K blocks, K per device per dispatch. All
     args stacked on axis 0 with leading dim a multiple of the mesh size.

@@ -17,11 +17,13 @@ from adhoc_queries_pointclouds_tpu import engine as eng
 from adhoc_queries_pointclouds_tpu.engine import run_query
 from adhoc_queries_pointclouds_tpu.formats import synth
 from adhoc_queries_pointclouds_tpu.models.query import (
+    BoundsQuery,
     ClassQuery,
     QueryPlan,
     TimeRangeQuery,
 )
 from adhoc_queries_pointclouds_tpu.ops import predicate as P
+from adhoc_queries_pointclouds_tpu.utils.aabb import parse_aabb
 
 
 def _pack_col(col_i32, k, base, block_size):
@@ -287,6 +289,28 @@ class TestEnginePackedParity:
         )
         assert hit.match_count == 5_000
         assert miss.match_count == 0
+
+    @pytest.mark.parametrize("tiny_cap", [False, True])
+    def test_density_query_parity(self, mixed_dataset, monkeypatch, tiny_cap):
+        """Density rides packed xyz transport (absolute coords are
+        reconstructed on device from residual planes + per-block base):
+        winner SETS must be bit-identical to the unpacked engine, incl.
+        the cap-overflow retry path."""
+        from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
+
+        root, _ = mixed_dataset
+        if tiny_cap:
+            monkeypatch.setenv("AQPC_COLLECT_CAP", "16")
+        plan = QueryPlan(
+            bounds=BoundsQuery(parse_aabb("100050;200050;0;100600;200600;100")),
+            density=DensityConfig(cell_size=7.0, scope="file"),
+        )
+        monkeypatch.setenv("AQPC_PACK", "0")
+        r0 = run_query(root / "last", plan, block_size=1 << 13, keep_hits=True)
+        monkeypatch.setenv("AQPC_PACK", "1")
+        r1 = run_query(root / "last", plan, block_size=1 << 13, keep_hits=True)
+        assert r1.match_count == r0.match_count > 0
+        assert self._hits_key(r1) == self._hits_key(r0)
 
     def test_class_retry_path(self, mixed_dataset, monkeypatch):
         """Tiny cap forces the dictionary-code retry (class_compact on
