@@ -160,10 +160,15 @@ def execute_query(
             timeout=float(os.environ.get("AQPC_QUERY_TIMEOUT", "0")) or None,
         )
     except subprocess.TimeoutExpired as e:
-        raise RuntimeError(
-            f"query timed out on {dataset_path} after {e.timeout:.0f}s "
-            "(AQPC_QUERY_TIMEOUT)"
-        ) from e
+        # Tunnel-stall insurance: a wedged TPU client must not abort a
+        # multi-hour grid. Record the run at the cap (it inflates the mean;
+        # the protocol's reported statistic is the median) and carry on.
+        print(
+            f"warning: query timed out on {dataset_path} after "
+            f"{e.timeout:.0f}s (AQPC_QUERY_TIMEOUT); recording at the cap",
+            file=sys.stderr,
+        )
+        return float(e.timeout), None
     elapsed = time.perf_counter() - t0
     if proc.returncode != 0:
         print(proc.stderr, file=sys.stderr)
