@@ -1332,17 +1332,21 @@ def _run_density(
         return cols
 
     cap = min(int(os.environ.get("AQPC_COLLECT_CAP", "8192")), block_size)
-    global_state: np.ndarray | None = None
+    # deferred-merge accumulators (ops/density.py WinnerAccum): exact same
+    # fold as per-block merge_winners_host, O(N log N) total instead of
+    # O(blocks * state log state) — the old per-block re-sort dominated
+    # xl-density wall time at paper scale
+    global_acc = density_ops.WinnerAccum()
 
     with timer.stage("scan"):
-        for file_idx in active:
+        for file_seq, file_idx in enumerate(active):
             r = readers[file_idx]
             n = r.point_count
             scale = r.header.scale
             offset = r.header.offset
             tables = grid.file_tables(scale, offset)
             tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
-            file_state: np.ndarray | None = None
+            file_acc = density_ops.WinnerAccum()
 
             idx_info = block_index.get(file_idx)
             tasks = []
@@ -1414,8 +1418,42 @@ def _run_density(
                     jnp.asarray(plan.classification.classification, jnp.int32), nv,
                 )
 
+            def host_any_hit(task) -> bool:
+                """Exact host-side any-hit test, mirroring the device
+                predicate bit for bit (inclusive int bbox / lexicographic
+                encoded half-open time / u8 equality). A block with zero
+                predicate hits produces zero density candidates by
+                definition, so it skips BOTH the H2D transfer and the
+                device 5-key sort — the dominant costs for selective boxes
+                scanned without a sidecar index. (A lax.cond around the
+                sort was tried instead and executes pathologically slowly
+                on the axon backend; see ops/density.py.)"""
+                if kind == "bbox":
+                    lo, hi = task.lo, task.hi
+                    x = xyz_col(task, 0)
+                    m = (x >= lo[0]) & (x <= hi[0])
+                    if not m.any():
+                        return False
+                    y = xyz_col(task, 1)
+                    m &= (y >= lo[1]) & (y <= hi[1])
+                    if not m.any():
+                        return False
+                    z = xyz_col(task, 2)
+                    m &= (z >= lo[2]) & (z <= hi[2])
+                    return bool(m.any())
+                if kind == "time":
+                    th, tl = task.columns["th"], task.columns["tl"]
+                    ge = (th > q_enc[0]) | ((th == q_enc[0]) & (tl >= q_enc[1]))
+                    if not ge.any():
+                        return False
+                    lt = (th < q_enc[2]) | ((th == q_enc[2]) & (tl < q_enc[3]))
+                    return bool((ge & lt).any())
+                return bool(
+                    (task.columns["cls"]
+                     == plan.classification.classification).any()
+                )
+
             def merge_candidates(task, local_idx):
-                nonlocal file_state, global_state
                 if local_idx is None or len(local_idx) == 0:
                     return
                 xyz = np.stack(
@@ -1431,9 +1469,9 @@ def _run_density(
                     world, local_idx.astype(np.int64) + task.start, file_idx
                 )
                 if scope == "file":
-                    file_state = density_ops.merge_winners_host(file_state, winners)
+                    file_acc.add(winners, file_seq)
                 else:
-                    global_state = density_ops.merge_winners_host(global_state, winners)
+                    global_acc.add(winners, file_seq)
 
             def retry_block(task, count):
                 from .parallel.pipeline import pad_to
@@ -1529,6 +1567,9 @@ def _run_density(
 
             batch = []
             for task in feeder:
+                if not host_any_hit(task):
+                    timer.counts["host_prefiltered_blocks"] += 1
+                    continue
                 batch.append(task)
                 if len(batch) == rows_per_step:
                     flush(batch)
@@ -1539,12 +1580,14 @@ def _run_density(
             timer.seconds["decode_cpu"] += feeder.decode_seconds
 
             if scope == "file":
+                file_state = file_acc.result()
                 if state_out is not None:
                     state_out.setdefault("file", {})[file_idx] = file_state
                 emitter.emit_hits(file_idx, _winners_to_hits(file_state, r, file_idx))
                 emitter.finalize_file(file_idx)
 
     if scope == "global":
+        global_state = global_acc.result()
         if state_out is not None:
             state_out["global"] = global_state
         combined: list[FileHits] = []

@@ -331,6 +331,11 @@ def _density_candidates_1(
     dz = dlz * scale[2]
     d2 = dx * dx + dy * dy + dz * dz
 
+    # NOTE: no lax.cond around the sort — a cond inside the lax.map block
+    # loop executes ~1000x slower on the axon TPU backend (74 s warm for
+    # 4 x 64k pts, measured). Zero-hit blocks are instead skipped on the
+    # HOST before dispatch (engine _run_density host prefilter), which
+    # also saves their H2D transfer.
     in_sort = valid & certified
     czk = jnp.where(in_sort, cz, I32_MAX)
     cz_s, cy_s, cx_s, d2_s, idx_s = jax.lax.sort(
@@ -393,6 +398,76 @@ def density_candidates_multi(xs, ys, zs, masks, nvs, tables, cap: int):
         )
 
     return jax.lax.map(one, (xs, ys, zs, masks, nvs))
+
+
+class WinnerAccum:
+    """Amortized winner-state accumulator for the engine's streaming scan.
+
+    `merge_winners_host` lexsorts the ENTIRE running state on every call;
+    called once per block (the engine's old pattern) that is O(S log S)
+    per block — at paper scale (13 M winner cells over 56 blocks) the host
+    spends more time re-sorting winners it already resolved than the device
+    spends scanning. This accumulator batches incoming candidate rows and
+    merges only when the pending batch has grown to the merged state's size
+    (a logarithmic merge schedule), making the total host cost O(N log N)
+    over the whole scan instead of O(B * S log S).
+
+    Exactness: identical to folding `merge_winners_host` per block. The
+    reference's tie rule is "first inserted wins" (strict < replacement,
+    grid_sampling.rs:97), and the engine inserts in ascending
+    (file-processing-order, gidx) — `active` iterates files in ascending
+    index and blocks stream in order — so insertion order is fully encoded
+    in each row's (file_seq, gidx) and the per-key minimum of
+    (d2, file_seq, gidx) is insertion-schedule-invariant. `add` takes the
+    file's processing sequence number explicitly so global-scope merges
+    stay exact even if file_idx values were ever discovered out of order.
+    """
+
+    def __init__(self, floor: int = 1 << 19):
+        self._state: np.ndarray | None = None
+        self._state_seq: np.ndarray | None = None  # per-row file seq
+        self._batches: list[np.ndarray] = []
+        self._batch_seqs: list[int] = []
+        self._pending = 0
+        self._floor = floor
+
+    def add(self, rows: np.ndarray, file_seq: int) -> None:
+        if rows is None or len(rows) == 0:
+            return
+        self._batches.append(rows)
+        self._batch_seqs.append(file_seq)
+        self._pending += len(rows)
+        state_n = 0 if self._state is None else len(self._state)
+        if self._pending >= max(state_n, self._floor):
+            self._merge()
+
+    def _merge(self) -> None:
+        if not self._batches:
+            return
+        parts = ([] if self._state is None else [self._state]) + self._batches
+        seqs = ([] if self._state is None else [self._state_seq]) + [
+            np.full(len(b), s, np.int32)
+            for b, s in zip(self._batches, self._batch_seqs)
+        ]
+        merged = np.concatenate(parts)
+        seq = np.concatenate(seqs)
+        order = np.lexsort((merged["gidx"], seq, merged["d2"], merged["key"]))
+        merged = merged[order]
+        seq = seq[order]
+        first = np.empty(len(merged), bool)
+        first[0] = True
+        first[1:] = merged["key"][1:] != merged["key"][:-1]
+        self._state = merged[first]
+        self._state_seq = seq[first]
+        self._batches = []
+        self._batch_seqs = []
+        self._pending = 0
+
+    def result(self) -> np.ndarray:
+        self._merge()
+        if self._state is None:
+            return np.empty(0, WINNER_DTYPE)
+        return self._state
 
 
 def merge_winners_host(state: np.ndarray | None, new: np.ndarray) -> np.ndarray:

@@ -384,8 +384,8 @@ class ResidentDataset:
                 grid_bounds = grid_bounds.union(h.bounds)
         grid = density_ops.GridSpec3D.create(grid_bounds, plan.density.cell_size)
 
-        states: dict[int, np.ndarray | None] = {}
-        global_state: np.ndarray | None = None
+        accs: dict[int, density_ops.WinnerAccum] = {}
+        global_acc = density_ops.WinnerAccum()
         tables_per_file = {}
         bounds_per_file = {}
         for i, h in enumerate(self.headers):
@@ -416,7 +416,7 @@ class ResidentDataset:
             lo, hi = ranges.get(i, (b, b))
             ranges[i] = (min(lo, b), b + 1)
 
-        for i, (blo, bhi) in sorted(ranges.items()):
+        for file_seq, (i, (blo, bhi)) in enumerate(sorted(ranges.items())):
             if i not in tables_per_file:
                 continue
             if plan.bounds is not None and i not in bounds_per_file:
@@ -470,10 +470,15 @@ class ResidentDataset:
                     world, local + int(self.block_start[blo + j]), i
                 )
                 if per_file_scope:
-                    states[i] = density_ops.merge_winners_host(states.get(i), winners)
+                    accs.setdefault(i, density_ops.WinnerAccum()).add(
+                        winners, file_seq
+                    )
                 else:
-                    global_state = density_ops.merge_winners_host(global_state, winners)
-        return states, global_state
+                    global_acc.add(winners, file_seq)
+        return (
+            {i: a.result() for i, a in accs.items()},
+            global_acc.result() if not per_file_scope else None,
+        )
 
     def density_count(self, plan: QueryPlan) -> int:
         """Max-density sampled count against resident blocks."""

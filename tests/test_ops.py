@@ -320,6 +320,59 @@ class TestDensity:
         state = merge_winners_host(merge_winners_host(None, a), b)
         assert state["gidx"][0] == 9
 
+    def test_winner_accum_matches_per_block_fold(self):
+        """WinnerAccum (deferred logarithmic merge) == folding
+        merge_winners_host batch by batch, incl. d2 ties resolved by
+        insertion order across many small batches."""
+        from adhoc_queries_pointclouds_tpu.ops.density import (
+            WINNER_DTYPE, WinnerAccum, merge_winners_host,
+        )
+
+        rng = np.random.default_rng(7)
+        gidx = 0
+        batches = []
+        for _ in range(57):
+            n = int(rng.integers(0, 200))
+            b = np.zeros(n, dtype=WINNER_DTYPE)
+            b["key"] = rng.integers(0, 40, n)  # heavy key collisions
+            # quantized d2 so exact ties happen often
+            b["d2"] = rng.integers(0, 5, n) * 0.25
+            b["file_idx"] = 0
+            b["gidx"] = np.arange(gidx, gidx + n)
+            gidx += n
+            batches.append(b)
+
+        ref = None
+        for b in batches:
+            ref = merge_winners_host(ref, b)
+
+        # accumulate with a tiny floor so several internal merges happen
+        acc = WinnerAccum(floor=64)
+        for b in batches:
+            acc.add(b, 0)
+        got = acc.result()
+
+        ref = np.sort(ref, order="key")
+        got = np.sort(got, order="key")
+        assert np.array_equal(ref, got)
+
+    def test_winner_accum_file_seq_orders_ties(self):
+        """Across files, earlier-processed file wins d2 ties regardless of
+        gidx magnitude (file_seq is the primary insertion key)."""
+        from adhoc_queries_pointclouds_tpu.ops.density import (
+            WINNER_DTYPE, WinnerAccum,
+        )
+
+        a = np.zeros(1, dtype=WINNER_DTYPE)
+        a[0] = (3, 1.0, 0, 900)  # file seq 0, huge gidx
+        b = np.zeros(1, dtype=WINNER_DTYPE)
+        b[0] = (3, 1.0, 1, 2)  # file seq 1, tiny gidx, same key+d2
+        acc = WinnerAccum()
+        acc.add(a, 0)
+        acc.add(b, 1)
+        got = acc.result()
+        assert len(got) == 1 and got["gidx"][0] == 900
+
     def test_candidate_cap_overflow_detected(self):
         """counts report the true candidate total even when idx truncates."""
         from adhoc_queries_pointclouds_tpu.ops.density import (
