@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from pathlib import Path
 
 import jax
@@ -194,10 +195,33 @@ def distributed_query(
 ):
     """Run one plan over all hosts' manifest shards through the REAL engine
     (run_query + DistStepComm). Returns the engine's QueryResult: its
-    match_count is the global total; hits/output_files are this host's."""
+    match_count is the global total; hits/output_files are this host's
+    (multi-process LAS dumps land under a per-host `host{i}/` subdir so a
+    shared output directory never collides across hosts).
+
+    Density plans are delegated to `distributed_density`: the engine's
+    collect driver resolves winners host-locally, which is wrong across
+    hosts (scope='global' needs cross-host per-key resolution; scope='file'
+    needs the cell counts all-reduced). The returned result's hits and
+    output_files are empty for density — `distributed_density` performs the
+    write-back itself."""
     from ..engine import run_query
 
     files, plan = _sharded_plan(input_path, plan, parity_quirk, output_dir)
+    if plan.density is not None:
+        from ..engine import QueryResult
+        from ..utils.timing import StageTimer
+
+        t0 = time.perf_counter()
+        count = distributed_density(input_path, plan, block_size=block_size)
+        return QueryResult(
+            match_count=count, hits=[], output_files=[],
+            total_file_bytes=sum(f.stat().st_size for f in files),
+            elapsed_seconds=time.perf_counter() - t0,
+            timer=StageTimer(), files_searched=len(files),
+        )
+    if plan.output_dir is not None and jax.process_count() > 1:
+        plan = dataclasses.replace(plan, output_dir=_host_output_dir(plan))
     return run_query(
         files, plan, block_size=block_size, use_index=use_index,
         print_stream=print_stream, keep_hits=keep_hits, comm=DistStepComm(),

@@ -39,7 +39,10 @@ class StageTimer:
             extra = ""
             if self.bytes[name]:
                 extra = f", {self.bytes[name] / 1048576.0 / max(s, 1e-12):.1f} MiB/s"
-            lines.append(f"  {name}: {s:.3f}s x{self.counts[name]}{extra}")
+            # count-less entries (durations accumulated directly into
+            # .seconds, e.g. decode_cpu) would print a misleading "x0"
+            cnt = f" x{self.counts[name]}" if self.counts[name] else ""
+            lines.append(f"  {name}: {s:.3f}s{cnt}{extra}")
         for name in sorted(self.counts):
             if name not in self.seconds:
                 lines.append(f"  {name}: {self.counts[name]}")

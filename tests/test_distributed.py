@@ -108,3 +108,20 @@ def test_distributed_density_matches_engine(tmp_path):
     expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
     got = distributed.distributed_density(tmp_path / "last", plan, block_size=1 << 14)
     assert got == expected > 0
+
+
+def test_distributed_query_delegates_density(tmp_path):
+    """distributed_query with a density plan must return the properly
+    merged global cell count (delegated to distributed_density), not the
+    engine's host-local emitter total (the pre-fix behavior)."""
+    from adhoc_queries_pointclouds_tpu.models.query import DensityConfig
+
+    synth.write_dataset(tmp_path, n_files=2, points_per_file=20_000, seed=37,
+                        formats=("last",))
+    for scope in ("global", "file"):
+        plan = QueryPlan(bounds=BoundsQuery(BOX), density=DensityConfig(50.0, scope))
+        expected = run_query(tmp_path / "last", plan, block_size=1 << 14).match_count
+        res = distributed.distributed_query(tmp_path / "last", plan,
+                                            block_size=1 << 14)
+        assert res.match_count == expected > 0, scope
+        assert res.files_searched == 2
