@@ -58,5 +58,49 @@ def render(rows: dict[str, tuple[float, float, float, str]]) -> str:
     return "\n".join(out)
 
 
+def parity(rows: dict[str, tuple[float, float, float, str]]) -> str:
+    """Cross-format count-parity audit: group rows by (cell minus the
+    format token) and report any group whose formats disagree. The harness
+    already asserts this at run time; this re-checks it from the committed
+    CSVs so the tables carry an auditable statement."""
+    groups: dict[str, dict[str, str]] = {}
+    for name, (_, _, _, count) in rows.items():
+        base = name[: -len("_indexed")] if name.endswith("_indexed") else name
+        kind = "_indexed" if name.endswith("_indexed") else ""
+        parts = base.split("_")
+        fmt = parts[-1]
+        cell = "_".join(parts[:-1]) + kind
+        groups.setdefault(cell, {})[fmt] = count
+    bad = {c: f for c, f in groups.items() if len(set(f.values())) > 1}
+    if bad:
+        lines = ["PARITY FAILURES:"]
+        for c, f in sorted(bad.items()):
+            lines.append(f"  {c}: {f}")
+        return "\n".join(lines)
+    n = len(groups)
+    return (f"cross-format count parity: OK — {n} cells, every format "
+            f"reports the identical match count")
+
+
+def compare_backends(a_paths: list[str], b_paths: list[str]) -> str:
+    """Counts must agree row-for-row between two table sets (e.g. the CPU
+    cold grid and the TPU in-process grid) wherever both measured a cell."""
+    a, b = load(a_paths), load(b_paths)
+    common = sorted(set(a) & set(b))
+    bad = [n for n in common if a[n][3] != b[n][3] and a[n][3] and b[n][3]]
+    if bad:
+        return "BACKEND COUNT MISMATCHES:\n" + "\n".join(
+            f"  {n}: {a[n][3]} vs {b[n][3]}" for n in bad)
+    return (f"cross-backend count parity: OK — {len(common)} shared cells, "
+            f"identical match counts")
+
+
 if __name__ == "__main__":
-    print(render(load(sys.argv[1:])))
+    if "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        print(compare_backends(sys.argv[1:i], sys.argv[i + 1:]))
+    else:
+        rows = load(sys.argv[1:])
+        print(render(rows))
+        print()
+        print(parity(rows))
