@@ -532,8 +532,15 @@ def main() -> None:
     hi = np.array([2**29, 2**28, 2**27], np.int32)
 
     baseline_pps = numpy_baseline(x, y, z, lo, hi)
-    extras = kernel_and_rooflines(lo, hi)
-    kernel_mpts = extras["kernel_mpts"]
+    try:
+        extras = kernel_and_rooflines(lo, hi)
+        kernel_mpts = extras["kernel_mpts"]
+    except Exception as e:
+        # a dead device window must still produce the one auditable JSON
+        # line (with the reason), never a bare traceback
+        SKIPPED["kernel"] = str(e)
+        extras = {}
+        kernel_mpts = 0.0
 
     # streaming engine measurement (disable with AQPC_BENCH_NO_E2E=1 if a
     # flaky tunnel window stalls H2D transfers past the driver's budget)
