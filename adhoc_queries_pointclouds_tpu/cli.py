@@ -178,6 +178,17 @@ def cmd_query(args: argparse.Namespace) -> int:
             f"  scanned {result.points_scanned} points "
             f"({result.mpts_per_s:.1f} Mpts/s)"
         )
+        from . import engine as _engine
+
+        probe = (
+            f"{_engine._PROBE_MS:.2f} ms" if _engine._PROBE_MS is not None
+            else "not probed"
+        )
+        pin = " (pinned by AQPC_INFLIGHT)" if _engine._env_inflight else ""
+        print(
+            f"  inflight device steps: {_engine.MAX_INFLIGHT_STEPS}"
+            f"{pin}; dispatch probe: {probe}"
+        )
     print(throughput_line(result.total_file_bytes, result.elapsed_seconds))
     return 0
 

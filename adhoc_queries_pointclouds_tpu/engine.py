@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import gc
 import os
+import sys
 from pathlib import Path
 
 import jax
@@ -66,7 +67,12 @@ _env_inflight = os.environ.get("AQPC_INFLIGHT")
 MAX_INFLIGHT_STEPS = int(_env_inflight) if _env_inflight else None
 
 
-def _dispatch_healthy() -> bool:
+_PROBE_MS: float | None = None  # last dispatch-probe latency, for --stats
+_REPROBE_EVERY = 256  # steps between health re-probes while pinned at 1
+_probe_calls = 0
+
+
+def _dispatch_probe_ms() -> float:
     import time
 
     try:
@@ -74,16 +80,41 @@ def _dispatch_healthy() -> bool:
         int(f(jnp.int32(1)))  # compile + warm
         t0 = time.perf_counter()
         int(f(jnp.int32(2)))
-        return (time.perf_counter() - t0) < 0.005
+        return (time.perf_counter() - t0) * 1e3
     except Exception:
-        return False
+        return float("inf")
 
 
 def current_inflight() -> int:
-    """Device steps to keep in flight (probed once; see MAX_INFLIGHT_STEPS)."""
-    global MAX_INFLIGHT_STEPS
+    """Device steps to keep in flight (see MAX_INFLIGHT_STEPS).
+
+    The probe decision is logged to stderr (a silently-serialized run is
+    indistinguishable from a slow one otherwise), and while the resolved
+    value is 1 *without* an AQPC_INFLIGHT pin, the backend is re-probed
+    every _REPROBE_EVERY steps so a one-off slow probe at process start
+    (e.g. a busy-but-healthy TPU-VM) doesn't cost the whole run's overlap
+    win. On a truly wedged tunnel the re-probe blocks no longer than the
+    next real dispatch would."""
+    global MAX_INFLIGHT_STEPS, _PROBE_MS, _probe_calls
     if MAX_INFLIGHT_STEPS is None:
-        MAX_INFLIGHT_STEPS = 3 if _dispatch_healthy() else 1
+        _PROBE_MS = _dispatch_probe_ms()
+        MAX_INFLIGHT_STEPS = 3 if _PROBE_MS < 5.0 else 1
+        print(
+            f"aqpc: dispatch probe {_PROBE_MS:.2f} ms -> inflight="
+            f"{MAX_INFLIGHT_STEPS} (pin with AQPC_INFLIGHT)",
+            file=sys.stderr,
+        )
+    elif MAX_INFLIGHT_STEPS == 1 and _env_inflight is None:
+        _probe_calls += 1
+        if _probe_calls % _REPROBE_EVERY == 0:
+            _PROBE_MS = _dispatch_probe_ms()
+            if _PROBE_MS < 5.0:
+                MAX_INFLIGHT_STEPS = 3
+                print(
+                    f"aqpc: re-probe {_PROBE_MS:.2f} ms -> raising inflight "
+                    f"to {MAX_INFLIGHT_STEPS}",
+                    file=sys.stderr,
+                )
     return MAX_INFLIGHT_STEPS
 
 
@@ -145,7 +176,6 @@ def _stack_planes(batch, key: str, axis: int, rows: int, k_bits: int,
     return out
 
 
-_GC_EVERY: int | None = None  # resolved on first tick (AQPC_GC_STEPS)
 _gc_steps = 0
 _libc = None
 
@@ -188,12 +218,12 @@ def _gc_tick() -> None:
     collect every AQPC_GC_STEPS steps (default 4; 0 disables), followed by
     a malloc_trim(0) to hand freed arena pages back to the OS (see
     _init_malloc for the allocator half of the story). AQPC_GC_STEPS is read
-    on the first tick (cached), like the other AQPC_* knobs — not at import."""
-    global _gc_steps, _GC_EVERY
-    if _GC_EVERY is None:
-        _GC_EVERY = int(os.environ.get("AQPC_GC_STEPS", "4"))
+    per tick (an env lookup is noise next to a device step) so changes made
+    after the first query in a long-lived process take effect."""
+    global _gc_steps
+    gc_every = int(os.environ.get("AQPC_GC_STEPS", "4"))
     _gc_steps += 1
-    if _GC_EVERY > 0 and _gc_steps % _GC_EVERY == 0:
+    if gc_every > 0 and _gc_steps % gc_every == 0:
         gc.collect()
         if _libc is not None:
             try:
@@ -474,8 +504,14 @@ def run_query(
             if info is not None:
                 file_indices_meta[i] = info
         # on-the-fly build (improvements.md semantics): a full bbox scan of
-        # an unindexed file emits the sidecar as a byproduct
-        if is_bounds and os.environ.get("AQPC_AUTO_INDEX", "1") != "0":
+        # an unindexed file emits the sidecar as a byproduct. Density plans
+        # skip the auto-build: the grid dedupe needs every in-box point, so
+        # the sidecar can only ever prune DISJOINT blocks for them, and the
+        # per-block min/max collection runs on the host critical path — on
+        # wide (l/xl) density boxes that made index-on measurably slower
+        # than index-off with nothing pruned in return.
+        if (is_bounds and plan.density is None
+                and os.environ.get("AQPC_AUTO_INDEX", "1") != "0"):
             for i in active:
                 if i not in file_indices_meta:
                     index_collectors[i] = index_mod.IndexCollector(

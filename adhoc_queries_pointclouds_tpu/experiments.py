@@ -58,7 +58,22 @@ DENSITIES = {"navvis3": 0.1, "doc": 25.0, "ca13": 100.0}
 
 CLASS_EXPERIMENTS = [("building", 6), ("noclass", 19)]
 
-EXPERIMENT_DATASETS = {1: "navvis3", 2: "doc", 3: "ca13", 4: "doc", 5: "ca13"}
+# Experiment 6 (beyond-reference): GPS-time-range queries over a clustered
+# flight-line dataset — the reference's dead time stubs (search/las.rs:297-367)
+# made real. The synth flight line advances at TIME_RATE pts/s from t=0
+# (make_cloud_clustered time_rate/time_start; write_dataset chains files into
+# one global line), so query windows are defined as fractions of the dataset's
+# total span — resolved to absolute seconds from the header-summed point count.
+TIME_RATE = 200_000.0
+TIME_EXPERIMENTS = [
+    ("ts", 0.450, 0.460),   # 1% of the flight line
+    ("tl", 0.300, 0.500),   # 20%
+    ("txl", 0.000, 1.000),  # the whole line
+]
+
+EXPERIMENT_DATASETS = {
+    1: "navvis3", 2: "doc", 3: "ca13", 4: "doc", 5: "ca13", 6: "navvis3t",
+}
 
 
 def reset_page_cache(dataset_path=None) -> None:
@@ -125,8 +140,8 @@ def _parse_count(text: str) -> int | None:
 
 def execute_query(
     dataset_path: Path, extra: list[str], cold: bool = True, in_process: bool = False
-) -> tuple[float, int | None]:
-    """One timed query run -> (seconds, match count or None).
+) -> tuple[float, int | None, bool]:
+    """One timed query run -> (seconds, match count or None, timed_out).
 
     Default = fresh subprocess + cold page cache, the reference protocol
     (rs:29-75: it shells out to ./target/release/query after sync+purge).
@@ -152,7 +167,7 @@ def execute_query(
         sys.stderr.write(buf.getvalue())
         if rc != 0:
             raise RuntimeError(f"query failed on {dataset_path} (exit {rc})")
-        return elapsed, _parse_count(buf.getvalue())
+        return elapsed, _parse_count(buf.getvalue()), False
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(
@@ -168,21 +183,29 @@ def execute_query(
             f"{e.timeout:.0f}s (AQPC_QUERY_TIMEOUT); recording at the cap",
             file=sys.stderr,
         )
-        return float(e.timeout), None
+        return float(e.timeout), None, True
     elapsed = time.perf_counter() - t0
     if proc.returncode != 0:
         print(proc.stderr, file=sys.stderr)
         raise RuntimeError(f"query failed on {dataset_path} (exit {proc.returncode})")
-    return elapsed, _parse_count(proc.stdout)
+    return elapsed, _parse_count(proc.stdout), False
 
 
-def _stats_row(name: str, runtimes: list[float], count: int | None) -> str:
-    """Reference CSV row (name;mean;median;stddev, rs:290-304) plus a fifth
-    match-count column so cross-format parity is auditable from the table."""
+def _stats_row(
+    name: str, runtimes: list[float], count: int | None, ncapped: int = 0
+) -> str:
+    """Reference CSV row (name;mean;median;stddev, rs:290-304) plus three
+    audit columns: match count (cross-format parity auditable from the
+    table), the number of runs behind the statistics, and how many of those
+    were timeout-capped (recorded AT the cap) — so a capped cell is
+    distinguishable from a real measurement in the artifact itself."""
     mean = statistics.fmean(runtimes)
     median = statistics.median(runtimes)
     stddev = statistics.stdev(runtimes) if len(runtimes) > 1 else 0.0
-    return f"{name};{mean};{median};{stddev};{'' if count is None else count}"
+    return (
+        f"{name};{mean};{median};{stddev};{'' if count is None else count}"
+        f";{len(runtimes)};{ncapped}"
+    )
 
 
 def _index_variants(index_mode: str) -> tuple[bool, ...]:
@@ -203,10 +226,11 @@ def _run_cell(
     results = [
         execute_query(path, extra, cold, in_process) for _ in range(num_runs)
     ]
-    counts = {c for _, c in results if c is not None}
+    counts = {c for _, c, _ in results if c is not None}
     if len(counts) > 1:
         raise AssertionError(f"{label}: run-to-run counts diverge: {counts}")
     count = counts.pop() if counts else None
+    ncapped = sum(1 for _, _, capped in results if capped)
     if counts_by_cell is not None and cell_key is not None and count is not None:
         # cross-format parity: every format of a (query, index) cell must
         # report the identical match count (the paper's own parity check)
@@ -216,7 +240,7 @@ def _run_cell(
                 f"{label}: count {count} != {prev} from another format of "
                 f"cell {cell_key}"
             )
-    print(_stats_row(label, [t for t, _ in results], count), flush=True)
+    print(_stats_row(label, [t for t, _, _ in results], count, ncapped), flush=True)
 
 
 def run_aabb_experiments(
@@ -273,6 +297,37 @@ def run_class_experiments(
                 )
 
 
+def run_time_experiments(
+    in_path: Path, num_runs: int, dataset: str, *, cold: bool = True,
+    formats: tuple[str, ...] = FORMATS, in_process: bool = False,
+    index_mode: str = "off",
+) -> None:
+    """Experiment 6: GPS-time windows (see TIME_EXPERIMENTS). The absolute
+    window is fraction-of-span x (total points / TIME_RATE), with the total
+    read header-only from the first format's files (count_points.rs:66-79
+    semantics — no point data touched to define the query)."""
+    from .formats.las import parse_las_header_file
+
+    total = sum(
+        parse_las_header_file(f).point_count
+        for f in sorted((in_path / dataset / formats[0]).iterdir())
+        if f.is_file() and not f.name.endswith(".aqpc-idx")
+    )
+    span = total / TIME_RATE
+    counts_by_cell: dict = {}
+    for range_name, f0, f1 in TIME_EXPERIMENTS:
+        t0, t1 = f0 * span, f1 * span
+        for use_index in _index_variants(index_mode):
+            for ext in formats:
+                path = in_path / dataset / ext
+                label = f"{dataset}_{range_name}_{ext}"
+                extra = [f"--time-range={t0};{t1}"]
+                _run_cell(
+                    label, path, extra, num_runs, cold, in_process,
+                    use_index, counts_by_cell, f"{range_name}_{use_index}",
+                )
+
+
 def synthesize_dataset(
     root: Path, dataset: str, n_files: int, points_per_file: int, seed: int = 0,
     clustered: bool = False,
@@ -281,10 +336,14 @@ def synthesize_dataset(
     extents matching the published query boxes (so S/L/XL have real bite).
     clustered=True uses the Morton-ordered spatially-coherent generator —
     the shape that makes index/full-scan comparisons meaningful (uniform
-    data gives every block the whole file's extent)."""
+    data gives every block the whole file's extent). The navvis3t (e6)
+    dataset is navvis3's world in point format 3, so records carry the
+    gps_time flight line the time-range cells query."""
     from .formats import synth
 
-    xl = AABBS[dataset]["xl"]
+    world = "navvis3" if dataset == "navvis3t" else dataset
+    point_format = 3 if dataset == "navvis3t" else 2
+    xl = AABBS[world]["xl"]
     extent = tuple((hi - lo) / n_files if i == 0 else (hi - lo)
                    for i, (lo, hi) in enumerate(zip(xl.min, xl.max)))
     scale_mag = max(e / n_files for e in extent) / (2**30)
@@ -295,7 +354,7 @@ def synthesize_dataset(
         points_per_file=points_per_file,
         formats=FORMATS,
         seed=seed,
-        point_format=2,
+        point_format=point_format,
         offset=xl.min,
         extent=extent,
         scale=(scale, scale, scale),
@@ -312,7 +371,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-i", "--input", required=True, help="Root directory of datasets")
     parser.add_argument(
         "-e", "--experiment", type=int, required=True,
-        help="1 (navvis AABB), 2 (doc AABB), 3 (ca13 AABB), 4 (doc class), 5 (ca13 class)",
+        help="1 (navvis AABB), 2 (doc AABB), 3 (ca13 AABB), 4 (doc class), "
+             "5 (ca13 class), 6 (navvis3t GPS-time — beyond-reference)",
     )
     parser.add_argument("--runs", type=int, default=5)
     parser.add_argument(
@@ -352,7 +412,7 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     if args.experiment not in EXPERIMENT_DATASETS:
-        print("Invalid experiment ID. Must be between 1 and 5.", file=sys.stderr)
+        print("Invalid experiment ID. Must be between 1 and 6.", file=sys.stderr)
         return 1
     dataset = EXPERIMENT_DATASETS[args.experiment]
     root = Path(args.input)
@@ -364,8 +424,8 @@ def main(argv: list[str] | None = None) -> int:
 
     print(
         "Running experiments... Output is: "
-        "experiment_name;mean;median;stddev;match_count "
-        "with runtimes in seconds",
+        "experiment_name;mean;median;stddev;match_count;runs;timeout_capped "
+        "with runtimes in seconds (capped runs recorded AT the cap)",
         file=sys.stderr,
     )
     formats = tuple(f for f in args.formats.split(",") if f)
@@ -376,8 +436,13 @@ def main(argv: list[str] | None = None) -> int:
             skip_density=args.skip_density, in_process=args.in_process,
             index_mode=args.index_mode,
         )
-    else:
+    elif args.experiment <= 5:
         run_class_experiments(
+            root, args.runs, dataset, cold=not args.warm, formats=formats,
+            in_process=args.in_process, index_mode=args.index_mode,
+        )
+    else:
+        run_time_experiments(
             root, args.runs, dataset, cold=not args.warm, formats=formats,
             in_process=args.in_process, index_mode=args.index_mode,
         )

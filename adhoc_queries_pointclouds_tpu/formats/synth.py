@@ -129,10 +129,16 @@ def make_cloud_clustered(
     run_query_experiments.rs:106-380 / run_postgis_queries.rs:22-24). Here:
 
       - cluster_frac of points Gaussian-cluster in xy around n_clusters
-        centers (sigma = sigma_frac x max extent) with per-cluster height
+        centers (sigma = sigma_frac x max extent, truncated at 2.5 sigma so
+        each cluster's support is a bounded tile) with per-cluster height
         bands; the rest form a low-z ground sheet
-      - classes are per-cluster (ground points take classes[0]) — blocks
-        are dominated by few classes, like real tiles
+      - classes are per-cluster (ground points take classes[0]) and the
+        truncation keeps them spatially bounded — a given non-ground class
+        exists only in the tiles its clusters cover, like real lidar where
+        buildings live in built-up blocks. Class-presence bitmaps can
+        therefore prune blocks for a *present* class (untruncated tails
+        sprinkled every class into every block, reducing the bitmap to an
+        absent-class-only device)
       - all points are sorted by 2-D Morton code (10-bit lattice), so
         engine blocks cover compact regions: header/index pruning, packed
         -transport widths, and LZ4/LASzip ratios behave like production data
@@ -150,7 +156,8 @@ def make_cloud_clustered(
     cluster_cls = rng.choice(np.asarray(classes, np.uint8), size=max(n_clusters, 1))
     assign = rng.integers(0, max(n_clusters, 1), n_c)
     sigma = sigma_frac * float(ext[:2].max())
-    xy_c = centers[assign] + rng.normal(0.0, sigma, (n_c, 2))
+    dev = np.clip(rng.normal(0.0, sigma, (n_c, 2)), -2.5 * sigma, 2.5 * sigma)
+    xy_c = centers[assign] + dev
     z_c = heights[assign] * rng.random(n_c)
     cls_c = cluster_cls[assign]
 

@@ -1,8 +1,9 @@
 """Render the experiment-grid CSVs (tools-run output in /tmp/expruns) as the
 markdown tables committed to docs/SAMPLE_RESULTS.md.
 
-Input rows are the reference CSV shape plus the parity column
-(name;mean;median;stddev;count — experiments.py:_stats_row). Output: one
+Input rows are the reference CSV shape plus the audit columns
+(name;mean;median;stddev;count[;nruns;ncapped] — experiments.py:_stats_row;
+round-4 CSVs lack the last two). Output: one
 markdown table per (dataset, query-cell) group with index-off and index-on
 columns side by side, so the reference-comparable scan number and the
 sidecar-index bonus are readable in one row.
@@ -16,8 +17,9 @@ import sys
 from pathlib import Path
 
 
-def load(paths: list[str]) -> dict[str, tuple[float, float, float, str]]:
-    rows: dict[str, tuple[float, float, float, str]] = {}
+def load(paths: list[str]) -> dict[str, tuple[float, float, float, str, str, int]]:
+    """name -> (mean, median, stddev, count, runs_label, ncapped)."""
+    rows: dict[str, tuple[float, float, float, str, str, int]] = {}
     for p in paths:
         for line in Path(p).read_text().splitlines():
             if not line.strip():
@@ -25,7 +27,9 @@ def load(paths: list[str]) -> dict[str, tuple[float, float, float, str]]:
             parts = line.split(";")
             name, mean, median, stddev = parts[0], *map(float, parts[1:4])
             count = parts[4] if len(parts) > 4 else ""
-            rows[name] = (mean, median, stddev, count)
+            nruns = parts[5] if len(parts) > 5 else ""
+            ncapped = int(parts[6]) if len(parts) > 6 else 0
+            rows[name] = (mean, median, stddev, count, nruns, ncapped)
     return rows
 
 
@@ -42,9 +46,10 @@ def render(rows: dict[str, tuple[float, float, float, str]]) -> str:
         cells[base][kind] = v
 
     out = [
-        "| cell | median s (no index) | mean | stddev | median s (indexed) | matches |",
-        "|---|---|---|---|---|---|",
+        "| cell | median s (no index) | mean | stddev | median s (indexed) | matches | runs |",
+        "|---|---|---|---|---|---|---|",
     ]
+    any_capped = False
     for base in order:
         c = cells[base]
         plain = c.get("plain")
@@ -54,7 +59,21 @@ def render(rows: dict[str, tuple[float, float, float, str]]) -> str:
         pmean = f"{plain[0]:.2f}" if plain else "—"
         psd = f"{plain[2]:.2f}" if plain else "—"
         im = f"{idx[1]:.2f}" if idx else "—"
-        out.append(f"| {base} | {pm} | {pmean} | {psd} | {im} | {count} |")
+        runs = (plain or idx)[4]
+        ncapped = max(v[5] for v in c.values())
+        cap_mark = ""
+        if ncapped:
+            cap_mark = f" †{ncapped}"
+            any_capped = True
+        out.append(
+            f"| {base} | {pm} | {pmean} | {psd} | {im} | {count} | {runs}{cap_mark} |"
+        )
+    if any_capped:
+        out.append("")
+        out.append(
+            "†N = N of the cell's runs hit the per-query timeout and are "
+            "recorded AT the cap (medians robust, means inflated)."
+        )
     return "\n".join(out)
 
 
