@@ -26,6 +26,24 @@ Measurement rules (round-4 fixes for the r3 verdict):
     with the reason recorded in extras["skipped"] — the per-round JSON
     stays the auditable artifact either way.
 
+Stall-proofing (round-5 fixes for the r4 verdict — BENCH_r04 was empty
+because one wedged dispatch ate the driver timeout with zero output):
+
+  - WATCHDOG EMIT. A daemon thread holds a hard deadline (budget + grace);
+    if the main thread is still running — even wedged inside a blocked
+    device dispatch, which Python cannot interrupt — it prints the headline
+    JSON assembled from everything measured so far and exits 0. An external
+    kill can only erase the window between two flushes, not the round.
+  - INCREMENTAL FLUSH. The shared state is re-written to BENCH_PARTIAL.json
+    after every stage (and after the same-window rounds inside the kernel
+    stage), so even a SIGKILL leaves an auditable partial artifact.
+  - HEALTH-GATED STAGES. The backend choice is made by a SUBPROCESS probe
+    with its own timeout before this process initializes jax: a dead tunnel
+    flips the whole run to a clearly-labeled CPU-backend fallback instead
+    of producing nothing. Mid-run, each stage re-gates on a threaded probe
+    (join with timeout — a wedged probe can't block the gate) and skips
+    with a reason rather than wedge.
+
 The baseline is a single-pass vectorized NumPy scan of the same int32
 predicate on the host CPU — a faithful stand-in for the reference's
 `--optimized` Rust loop (query/src/search/las.rs:101-119), which is likewise
@@ -40,7 +58,9 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -58,6 +78,8 @@ ROUNDS = 3  # interleaved same-window rounds (median per metric)
 
 SKIPPED: dict[str, str] = {}  # stage -> reason, emitted in extras
 
+PARTIAL_PATH = Path(__file__).resolve().parent / "BENCH_PARTIAL.json"
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -66,41 +88,202 @@ def log(msg: str) -> None:
 _T0 = time.monotonic()
 
 
+def _budget_s() -> float:
+    return float(os.environ.get("AQPC_BENCH_BUDGET_S", "420"))
+
+
 def _budget_left() -> float:
-    return _T0 + float(os.environ.get("AQPC_BENCH_BUDGET_S", "420")) - time.monotonic()
+    return _T0 + _budget_s() - time.monotonic()
 
 
-def jnp_scalar():
+class Emitter:
+    """Progressively-built result; guarantees the one JSON line exists.
+
+    All stages write results here the moment they are measured. `finish()`
+    (normal path) and the watchdog (wedged path) both route through
+    `emit()`, which prints at most once process-wide."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.state: dict = {
+            "metric": "bbox_scan_throughput",
+            "value": 0.0,
+            "unit": "Mpts/s",
+            "vs_baseline": 0.0,
+            "extras": {},
+        }
+        self.baseline_pps: float | None = None
+        self.stage = "startup"
+        self._emitted = False
+
+    def set_stage(self, stage: str) -> None:
+        with self.lock:
+            self.stage = stage
+        log(f"--- stage: {stage} (budget left {_budget_left():.0f}s)")
+        self.flush_partial()
+
+    def update(self, **extras) -> None:
+        with self.lock:
+            self.state["extras"].update(extras)
+            if "kernel_mpts" in extras:
+                self.state["value"] = extras["kernel_mpts"]
+            if self.baseline_pps and self.state["value"]:
+                self.state["vs_baseline"] = round(
+                    self.state["value"] * 1e6 / self.baseline_pps, 2
+                )
+        self.flush_partial()
+
+    def set_baseline(self, pps: float) -> None:
+        with self.lock:
+            self.baseline_pps = pps
+            self.state["extras"]["numpy_baseline_mpts"] = round(pps / 1e6, 1)
+            if self.state["value"]:
+                self.state["vs_baseline"] = round(
+                    self.state["value"] * 1e6 / pps, 2
+                )
+        self.flush_partial()
+
+    def flush_partial(self) -> None:
+        """Crash-safe partial artifact (atomic rename; survives SIGKILL)."""
+        try:
+            with self.lock:
+                snap = json.dumps(
+                    {**self.state,
+                     "extras": {**self.state["extras"],
+                                "skipped": dict(SKIPPED),
+                                "stage_reached": self.stage,
+                                "elapsed_s": round(time.monotonic() - _T0, 1)}}
+                )
+            tmp = PARTIAL_PATH.with_suffix(".json.tmp")
+            tmp.write_text(snap + "\n")
+            tmp.replace(PARTIAL_PATH)
+        except Exception as e:  # never let bookkeeping kill a measurement
+            log(f"partial flush failed: {e}")
+
+    def emit(self, watchdog: bool = False) -> None:
+        with self.lock:
+            if self._emitted:
+                return
+            self._emitted = True
+            if watchdog:
+                SKIPPED["watchdog"] = (
+                    f"hard deadline hit during stage '{self.stage}' "
+                    "(main thread presumed wedged in a device dispatch); "
+                    "emitting everything measured so far"
+                )
+            if SKIPPED:
+                self.state["extras"]["skipped"] = dict(SKIPPED)
+            print(json.dumps(self.state), flush=True)
+        self.flush_partial()
+
+
+EMITTER = Emitter()
+
+
+def start_watchdog() -> None:
+    """Emit-and-exit at budget + grace even if the main thread is wedged
+    inside an uninterruptible device call. os._exit skips atexit/teardown
+    on purpose: a wedged XLA client cannot be torn down cleanly anyway."""
+    deadline = _budget_s() + float(os.environ.get("AQPC_BENCH_GRACE_S", "90"))
+
+    def fire() -> None:
+        time.sleep(max(deadline - (time.monotonic() - _T0), 1.0))
+        log(f"WATCHDOG: {deadline:.0f}s hard deadline reached in stage "
+            f"'{EMITTER.stage}'; emitting partial results and exiting")
+        EMITTER.emit(watchdog=True)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
+def probe_backend() -> tuple[str, str]:
+    """Decide tpu-vs-cpu BEFORE this process initializes jax.
+
+    A subprocess runs a trivial jit with a hard timeout; if the tunneled
+    device is wedged the subprocess is killed, not us, and the whole bench
+    falls back to a clearly-labeled CPU run (r4 verdict (c)). Skippable
+    via AQPC_BENCH_FORCE_CPU=1 / AQPC_BENCH_FORCE_TPU=1."""
+    if os.environ.get("AQPC_BENCH_FORCE_CPU"):
+        return "cpu", "AQPC_BENCH_FORCE_CPU set"
+    if os.environ.get("AQPC_BENCH_FORCE_TPU"):
+        return "tpu", "AQPC_BENCH_FORCE_TPU set"
+    probe_timeout = float(os.environ.get("AQPC_BENCH_PROBE_TIMEOUT_S", "90"))
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "d = jax.devices()[0];"
+        "assert d.platform != 'cpu', d.platform;"
+        "v = int(jax.jit(lambda v: v + 1)(jnp.int32(1)));"
+        "print('PROBE-OK', d.platform)"
+    )
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=probe_timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return "cpu", (
+            f"tunnel probe timed out after {probe_timeout:.0f}s "
+            "(device wedged); CPU-backend fallback"
+        )
+    dt = time.perf_counter() - t0
+    if proc.returncode == 0 and "PROBE-OK" in proc.stdout:
+        return "tpu", f"probe ok in {dt:.1f}s"
+    return "cpu", (
+        f"tunnel probe failed (rc={proc.returncode}); CPU-backend fallback: "
+        + (proc.stderr or proc.stdout).strip()[-200:]
+    )
+
+
+_HEALTH_FN = None  # warm jitted probe, set once jax is live
+
+
+def device_healthy(timeout_s: float = 15.0) -> bool:
+    """Non-blocking mid-run health gate: run the (warm) trivial dispatch in
+    a thread and join with a timeout. A wedged dispatch leaves a blocked
+    daemon thread behind instead of blocking the bench."""
+    global _HEALTH_FN
+    import jax
     import jax.numpy as jnp
 
-    return jnp.float32(1.0)
+    if _HEALTH_FN is None:
+        f = jax.jit(lambda v: v + 1)
+        int(f(jnp.int32(1)))  # compile + warm (gated by caller's patience)
+        _HEALTH_FN = f
+    result: list[bool] = []
+
+    def run() -> None:
+        try:
+            t0 = time.perf_counter()
+            int(_HEALTH_FN(jnp.int32(2)))
+            result.append((time.perf_counter() - t0) < 5.0)
+        except Exception:
+            result.append(False)
+
+    th = threading.Thread(target=run, daemon=True, name="bench-health")
+    th.start()
+    th.join(timeout_s)
+    return bool(result and result[0])
 
 
-def wait_device_healthy(budget_s: float = 240.0) -> None:
-    """The tunneled axon TPU intermittently stalls for minutes; gate the
-    heavy benchmark section on a trivial-dispatch probe so a bad window
-    delays rather than poisons the measurement."""
-    import jax
-
-    deadline = time.monotonic() + budget_s
+def wait_device_healthy(budget_s: float = 120.0) -> bool:
+    """Bounded wait for a healthy window; returns False (caller should
+    skip, not wedge) if the device never answers in time."""
+    deadline = time.monotonic() + min(budget_s, max(_budget_left(), 0.0))
     attempt = 0
     while True:
-        t0 = time.perf_counter()
-        try:
-            jax.jit(lambda v: v + 1)(jnp_scalar()).block_until_ready()
-            dt = time.perf_counter() - t0
-            if dt < 5.0:
-                if attempt:
-                    log(f"device healthy again after {attempt} probe(s)")
-                return
-        except Exception as e:
-            log(f"health probe error: {e}")
+        if device_healthy():
+            if attempt:
+                log(f"device healthy again after {attempt} probe(s)")
+            return True
         attempt += 1
         if time.monotonic() > deadline:
-            log("device still slow after probe budget; proceeding anyway")
-            return
-        log(f"device slow (probe {attempt}); waiting 20s...")
-        time.sleep(20.0)
+            log("device still unresponsive after probe budget")
+            return False
+        log(f"device slow (probe {attempt}); waiting 15s...")
+        time.sleep(15.0)
 
 
 def numpy_baseline(x, y, z, lo, hi) -> float:
@@ -121,14 +304,16 @@ def numpy_baseline(x, y, z, lo, hi) -> float:
     return len(x) / dt
 
 
-def kernel_and_rooflines(lo, hi) -> dict:
+def kernel_and_rooflines(lo, hi) -> None:
     """Fused bbox kernel + bandwidth ceilings, interleaved in ONE window.
 
-    Returns Mpts/s + total-bytes-moved GB/s for: the best bbox impl, the
-    class scans (unpacked u8 + 4x word-packed), a device memcpy
+    Pushes Mpts/s + total-bytes-moved GB/s into EMITTER for: the best bbox
+    impl, the class scans (unpacked u8 + 4x word-packed), a device memcpy
     (8 B/elem total) and a pure int32 reduction (4 B/elem total). Each
     timed section is one fori_loop dispatch with completion forced through
     a scalar fetch (block_until_ready can return early on this backend).
+    Results are flushed after impl selection and after EVERY same-window
+    round, so a kill preserves the last completed round's medians.
     """
     import jax
     import jax.numpy as jnp
@@ -138,7 +323,9 @@ def kernel_and_rooflines(lo, hi) -> dict:
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     log(f"device: {jax.devices()[0]} (backend={backend})")
-    wait_device_healthy()
+    if on_tpu and not wait_device_healthy():
+        SKIPPED["kernel"] = "device unresponsive at kernel stage"
+        return
 
     # Generate the columns ON DEVICE: bulk H2D transfers are the op most
     # prone to multi-minute stalls on the tunneled backend, and a kernel
@@ -157,6 +344,7 @@ def kernel_and_rooflines(lo, hi) -> dict:
     nv = jnp.asarray(n, jnp.int32)
     jax.block_until_ready([dx, dy, dz, dcls, dlo, dhi])
     log(f"device data generated in {time.perf_counter() - t0:.1f}s")
+    EMITTER.update(kernel_points=n)
 
     # NOTE: the big arrays ride as jit ARGUMENTS — closing over them bakes
     # them into the program as constants, which the tunneled remote-compile
@@ -247,11 +435,16 @@ def kernel_and_rooflines(lo, hi) -> dict:
         # transient tunnel aborts recover after a cooldown; don't die on one
         log("no bbox impl ran (backend abort?); cooling down 30s...")
         time.sleep(30.0)
-        wait_device_healthy(60.0)
+        if not wait_device_healthy(60.0):
+            SKIPPED["kernel"] = "device unresponsive during impl selection"
+            return
     if not impls:
         raise RuntimeError("no bbox impl ran after retries")
     best_impl = min(impls, key=lambda k: impls[k][0])
     bbox_loop = impls[best_impl][1]
+    # first auditable kernel number the moment it exists (single round)
+    EMITTER.update(kernel_impl=best_impl,
+                   kernel_mpts=round(n / impls[best_impl][0] / 1e6, 1))
 
     # sanity: packed class checksum == unpacked
     int(cls_loop(*CLS_ARGS, jnp.int32(0)))
@@ -268,6 +461,32 @@ def kernel_and_rooflines(lo, hi) -> dict:
     samples: dict[str, list[float]] = {k: [] for k in
                                        ("bbox", "read3", "copy", "reduce",
                                         "cls", "clsp")}
+
+    def push_medians() -> None:
+        med = {k: float(np.median(v)) for k, v in samples.items()}
+        spread = max(samples["bbox"]) / max(min(samples["bbox"]), 1e-12)
+        out = {
+            "kernel_impl": best_impl,
+            "kernel_mpts": round(n / med["bbox"] / 1e6, 1),
+            # TOTAL bytes moved per second (reads + writes)
+            "kernel_gbs": round(12 * n / med["bbox"] / 1e9, 1),  # 3 rd, no wr
+            "roofline_read3_gbs": round(12 * n / med["read3"] / 1e9, 1),
+            "roofline_copy_gbs": round(8 * n / med["copy"] / 1e9, 1),  # rd+wr
+            "roofline_reduce_gbs": round(4 * n / med["reduce"] / 1e9, 1),
+            "kernel_class_unpacked_mpts": round(n / med["cls"] / 1e6, 1),
+            "kernel_class_mpts": round(n / min(med["cls"], med["clsp"]) / 1e6, 1),
+            "kernel_class_gbs": round(n / min(med["cls"], med["clsp"]) / 1e9, 2),
+            "window_spread_bbox": round(spread, 2),
+            "window_rounds_done": len(samples["bbox"]),
+        }
+        out["kernel_pct_of_read3"] = round(
+            100.0 * out["kernel_gbs"] / max(out["roofline_read3_gbs"], 1e-9), 1
+        )
+        out["kernel_pct_of_copy"] = round(
+            100.0 * out["kernel_gbs"] / max(out["roofline_copy_gbs"], 1e-9), 1
+        )
+        EMITTER.update(**out)
+
     for r in range(ROUNDS):
         for name, m, args in (("bbox", bbox_loop, None),
                               ("read3", read3_loop, None),
@@ -277,59 +496,42 @@ def kernel_and_rooflines(lo, hi) -> dict:
                               ("clsp", clsp_loop, CLSP_ARGS)):
             dt, _ = timed(m, 2 + r, args)
             samples[name].append(dt)
-    med = {k: float(np.median(v)) for k, v in samples.items()}
-    spread = max(samples["bbox"]) / max(min(samples["bbox"]), 1e-12)
+        push_medians()  # flush after every completed round (kill-safe)
 
-    out = {
-        "kernel_impl": best_impl,
-        "kernel_mpts": round(n / med["bbox"] / 1e6, 1),
-        # TOTAL bytes moved per second (reads + writes)
-        "kernel_gbs": round(12 * n / med["bbox"] / 1e9, 1),  # 3 reads, no write
-        "roofline_read3_gbs": round(12 * n / med["read3"] / 1e9, 1),  # 3 rd
-        "roofline_copy_gbs": round(8 * n / med["copy"] / 1e9, 1),  # rd+wr
-        "roofline_reduce_gbs": round(4 * n / med["reduce"] / 1e9, 1),  # rd only
-        "kernel_class_unpacked_mpts": round(n / med["cls"] / 1e6, 1),
-        "kernel_class_mpts": round(n / min(med["cls"], med["clsp"]) / 1e6, 1),
-        "kernel_class_gbs": round(n / min(med["cls"], med["clsp"]) / 1e9, 2),
-        "window_spread_bbox": round(spread, 2),
-    }
-    out["kernel_pct_of_read3"] = round(
-        100.0 * out["kernel_gbs"] / max(out["roofline_read3_gbs"], 1e-9), 1
-    )
-    out["kernel_pct_of_copy"] = round(
-        100.0 * out["kernel_gbs"] / max(out["roofline_copy_gbs"], 1e-9), 1
-    )
+    e = EMITTER.state["extras"]
     log(
-        f"same-window medians: bbox {out['kernel_mpts']} Mpts/s "
-        f"({out['kernel_gbs']} GB/s moved) | read3 "
-        f"{out['roofline_read3_gbs']} GB/s | copy "
-        f"{out['roofline_copy_gbs']} GB/s | reduce "
-        f"{out['roofline_reduce_gbs']} GB/s | class "
-        f"{out['kernel_class_unpacked_mpts']} -> packed "
-        f"{out['kernel_class_mpts']} Mpts/s | kernel at "
-        f"{out['kernel_pct_of_read3']}% of read3 / "
-        f"{out['kernel_pct_of_copy']}% of copy traffic "
-        f"(bbox window spread {out['window_spread_bbox']}x)"
+        f"same-window medians: bbox {e['kernel_mpts']} Mpts/s "
+        f"({e['kernel_gbs']} GB/s moved) | read3 "
+        f"{e['roofline_read3_gbs']} GB/s | copy "
+        f"{e['roofline_copy_gbs']} GB/s | reduce "
+        f"{e['roofline_reduce_gbs']} GB/s | class "
+        f"{e['kernel_class_unpacked_mpts']} -> packed "
+        f"{e['kernel_class_mpts']} Mpts/s | kernel at "
+        f"{e['kernel_pct_of_read3']}% of read3 / "
+        f"{e['kernel_pct_of_copy']}% of copy traffic "
+        f"(bbox window spread {e['window_spread_bbox']}x)"
     )
 
     # host->device transfer ceiling: the streaming engine's e2e number is
     # bounded by this (coordinate bytes must cross the link)
+    if on_tpu and not device_healthy():
+        SKIPPED["h2d"] = "device unresponsive before h2d probe"
+        return
     try:
         host = np.random.default_rng(2).integers(
             -100, 100, 16 * 1024 * 1024, dtype=np.int64
         ).astype(np.int32)  # 64 MiB
-        import jax
 
         d = jax.device_put(host)
         jax.block_until_ready(d)  # warm path
         t0 = time.perf_counter()
         d = jax.device_put(host)
         int(d[0])  # force materialization on device
-        out["h2d_gbs"] = round(host.nbytes / (time.perf_counter() - t0) / 1e9, 2)
-        log(f"h2d link: {out['h2d_gbs']} GB/s")
+        EMITTER.update(
+            h2d_gbs=round(host.nbytes / (time.perf_counter() - t0) / 1e9, 2))
+        log(f"h2d link: {EMITTER.state['extras']['h2d_gbs']} GB/s")
     except Exception as e:
         SKIPPED["h2d"] = str(e)
-    return out
 
 
 def _timed_query(ds, plan, **kw):
@@ -341,9 +543,10 @@ def _timed_query(ds, plan, **kw):
     return res, time.perf_counter() - t0
 
 
-def _packed_pair(ds, plan, total_pts, key, out, **kw):
+def _packed_pair(ds, plan, total_pts, key, **kw):
     """Measure packed (default) vs AQPC_PACK=0 for one plan; fills
     {key}_mpts / {key}_unpacked_mpts / {key}_packed_speedup."""
+    out: dict = {}
     prev = os.environ.get("AQPC_PACK")
     os.environ["AQPC_PACK"] = "0"
     try:
@@ -363,10 +566,23 @@ def _packed_pair(ds, plan, total_pts, key, out, **kw):
         f"raw {out[f'{key}_unpacked_mpts']} Mpts/s "
         f"({out[f'{key}_packed_speedup']}x on the link)"
     )
-    return res
+    EMITTER.update(**out)
+    return res, out
 
 
-def end_to_end(tmpdir: Path) -> dict:
+def _gate(stage: str, on_tpu: bool) -> bool:
+    """Health-gate one e2e stage: skip with a recorded reason on a dead
+    device rather than wedging into the watchdog."""
+    if _budget_left() < 20:
+        SKIPPED[stage] = "budget exhausted"
+        return False
+    if on_tpu and not device_healthy():
+        SKIPPED[stage] = "device unresponsive at stage gate"
+        return False
+    return True
+
+
+def end_to_end(tmpdir: Path, on_tpu: bool) -> None:
     """Streaming engine throughput on a synthetic LAST dataset — the number
     comparable to the reference's headline MiB/s report (main.rs:309-316):
     file bytes on disk -> mmap columns -> decode-ahead feeder -> packed
@@ -376,20 +592,20 @@ def end_to_end(tmpdir: Path) -> dict:
 
     Budget behavior: under AQPC_BENCH_BUDGET_S pressure the sample shrinks
     4x (recorded in extras) before anything is skipped; a skipped stage
-    records its reason in extras["skipped"]."""
+    records its reason in extras["skipped"]. Every stage flushes its
+    result the moment it's measured."""
     from adhoc_queries_pointclouds_tpu.formats import synth
     from adhoc_queries_pointclouds_tpu.models.query import (
         BoundsQuery, ClassQuery, DensityConfig, QueryPlan, TimeRangeQuery,
     )
     from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
 
-    out: dict = {}
     small = _budget_left() < 150.0
     n_files, ppf = (2, 2_000_000) if small else (4, 4_000_000)
     total_pts = n_files * ppf
     ds = tmpdir / ("last_small" if small else "last") / "last"
     if small:
-        out["e2e_sample_shrunk"] = True
+        EMITTER.update(e2e_sample_shrunk=True)
         log("budget pressure: e2e sample shrunk to 4 Mpts")
     if not ds.exists():
         log(f"generating e2e dataset ({n_files} x {ppf / 1e6:.0f}M pts, "
@@ -404,50 +620,50 @@ def end_to_end(tmpdir: Path) -> dict:
     total_bytes = sum(f.stat().st_size for f in ds.glob("*.last"))
 
     # headline: bbox count, packed vs raw transport
-    res = _packed_pair(ds, QueryPlan(bounds=BoundsQuery(box)), total_pts,
-                       "e2e", out)
-    out["e2e_mibs"] = round(
-        total_bytes / 1048576.0 / (total_pts / (out["e2e_mpts"] * 1e6)), 1
-    )
+    EMITTER.set_stage("e2e_bbox")
+    if _gate("e2e", on_tpu):
+        _, pp = _packed_pair(ds, QueryPlan(bounds=BoundsQuery(box)), total_pts,
+                             "e2e")
+        EMITTER.update(e2e_mibs=round(
+            total_bytes / 1048576.0 / (total_pts / (pp["e2e_mpts"] * 1e6)), 1))
+    else:
+        return  # no device for any downstream e2e stage either
 
     # GPS-time range, packed (hi,lo) planes vs raw 8 B/pt
     span = total_pts / 200_000.0
     tplan = QueryPlan(time_range=TimeRangeQuery(span * 0.2, span * 0.7))
-    if _budget_left() > 30:
-        _packed_pair(ds, tplan, total_pts, "e2e_time", out)
-    else:
-        SKIPPED["e2e_time"] = "budget exhausted after bbox e2e"
+    EMITTER.set_stage("e2e_time")
+    if _gate("e2e_time", on_tpu):
+        _packed_pair(ds, tplan, total_pts, "e2e_time")
 
     # class scan, dictionary codes vs raw 1 B/pt
     cplan = QueryPlan(classification=ClassQuery(5))
-    if _budget_left() > 30:
-        _packed_pair(ds, cplan, total_pts, "e2e_class", out)
-    else:
-        SKIPPED["e2e_class"] = "budget exhausted after time e2e"
+    EMITTER.set_stage("e2e_class")
+    if _gate("e2e_class", on_tpu):
+        _packed_pair(ds, cplan, total_pts, "e2e_class")
 
     # collect path (mesh compaction + streamed gather + LAS writeback)
     import tempfile
 
-    if _budget_left() > 20:
+    EMITTER.set_stage("e2e_collect")
+    if _gate("e2e_collect", on_tpu):
         with tempfile.TemporaryDirectory() as td:
             aplan = QueryPlan(bounds=BoundsQuery(box), output_dir=Path(td))
             cres, dt = _timed_query(ds, aplan)
-            out["e2e_collect_mpts"] = round(total_pts / dt / 1e6, 1)
+            EMITTER.update(e2e_collect_mpts=round(total_pts / dt / 1e6, 1))
             log(f"e2e collect+writeback: {cres.match_count} hits in {dt:.2f}s")
-    else:
-        SKIPPED["e2e_collect"] = "budget exhausted"
 
     # f64-exact density path
-    if _budget_left() > 20:
+    EMITTER.set_stage("e2e_density")
+    if _gate("e2e_density", on_tpu):
         dplan = QueryPlan(bounds=BoundsQuery(box), density=DensityConfig(100.0))
         dres, dt = _timed_query(ds, dplan)
-        out["e2e_density_mpts"] = round(total_pts / dt / 1e6, 1)
+        EMITTER.update(e2e_density_mpts=round(total_pts / dt / 1e6, 1))
         log(f"e2e density: {dres.match_count} cells in {dt:.2f}s")
-    else:
-        SKIPPED["e2e_density"] = "budget exhausted"
 
     # serving mode: dataset resident in HBM, one dispatch per ad-hoc query
-    if _budget_left() > 15:
+    EMITTER.set_stage("e2e_resident")
+    if _gate("resident", on_tpu):
         try:
             from adhoc_queries_pointclouds_tpu.parallel.resident import (
                 ResidentDataset,
@@ -461,20 +677,19 @@ def end_to_end(tmpdir: Path) -> dict:
             for _ in range(reps):
                 rds.count(plan)
             dt = (time.perf_counter() - t0) / reps
-            out["resident_ms_per_query"] = round(dt * 1e3, 2)
-            out["resident_mpts_per_query"] = round(rds.total_points / dt / 1e6, 1)
+            EMITTER.update(
+                resident_ms_per_query=round(dt * 1e3, 2),
+                resident_mpts_per_query=round(rds.total_points / dt / 1e6, 1),
+            )
             log(
                 f"resident serving: {dt * 1e3:.2f} ms/query over "
                 f"{rds.total_points / 1e6:.0f} Mpts in HBM"
             )
         except Exception as e:
             SKIPPED["resident"] = str(e)
-    else:
-        SKIPPED["resident"] = "budget exhausted"
-    return out
 
 
-def inflight_comparison(tmpdir: Path) -> dict:
+def inflight_comparison(tmpdir: Path) -> None:
     """Decode-bound (LAZER) engine scan with AQPC_INFLIGHT=1 vs 3: measures
     the win from overlapping host decode + H2D with the device scan. Opt-in
     (AQPC_BENCH_INFLIGHT=1): queued transfers can wedge the tunneled axon
@@ -500,17 +715,33 @@ def inflight_comparison(tmpdir: Path) -> dict:
             eng.MAX_INFLIGHT_STEPS = inflight
             _, dt = _timed_query(ds, plan)
             out[f"e2e_lazer_inflight{inflight}_mpts"] = round(16_000_000 / dt / 1e6, 1)
+            EMITTER.update(**out)
     finally:
         eng.MAX_INFLIGHT_STEPS = saved
     if "e2e_lazer_inflight1_mpts" in out and "e2e_lazer_inflight3_mpts" in out:
-        out["inflight_speedup"] = round(
+        EMITTER.update(inflight_speedup=round(
             out["e2e_lazer_inflight3_mpts"] / out["e2e_lazer_inflight1_mpts"], 2
-        )
+        ))
     log(f"inflight comparison: {out}")
-    return out
 
 
 def main() -> None:
+    start_watchdog()
+
+    # Backend decision happens in a SUBPROCESS before jax initializes here:
+    # a wedged tunnel can only eat the probe's timeout, and the whole bench
+    # then runs (clearly labeled) on the CPU backend instead of wedging.
+    EMITTER.set_stage("backend_probe")
+    backend, reason = probe_backend()
+    log(f"backend decision: {backend} ({reason})")
+    if backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        EMITTER.update(backend="cpu-fallback", backend_reason=reason)
+    else:
+        EMITTER.update(backend="tpu", backend_reason=reason)
+
     import jax
 
     if not os.environ.get("AQPC_NO_COMPILE_CACHE"):
@@ -523,6 +754,7 @@ def main() -> None:
         except Exception:
             pass
 
+    EMITTER.set_stage("numpy_baseline")
     rng = np.random.default_rng(0)
     log(f"generating {N_POINTS / 1e6:.0f}M random int32 points...")
     x = rng.integers(-(2**30), 2**30, N_POINTS, dtype=np.int64).astype(np.int32)
@@ -531,22 +763,23 @@ def main() -> None:
     lo = np.array([-(2**29), -(2**28), -(2**29)], np.int32)
     hi = np.array([2**29, 2**28, 2**27], np.int32)
 
-    baseline_pps = numpy_baseline(x, y, z, lo, hi)
+    EMITTER.set_baseline(numpy_baseline(x, y, z, lo, hi))
+
+    EMITTER.set_stage("kernel_rooflines")
     try:
-        extras = kernel_and_rooflines(lo, hi)
-        kernel_mpts = extras["kernel_mpts"]
+        kernel_and_rooflines(lo, hi)
     except Exception as e:
         # a dead device window must still produce the one auditable JSON
         # line (with the reason), never a bare traceback
         SKIPPED["kernel"] = str(e)
-        extras = {}
-        kernel_mpts = 0.0
+        log(f"kernel stage failed: {e}")
 
     # streaming engine measurement (disable with AQPC_BENCH_NO_E2E=1 if a
     # flaky tunnel window stalls H2D transfers past the driver's budget)
+    on_tpu = backend == "tpu"
     if not os.environ.get("AQPC_BENCH_NO_E2E"):
         try:
-            extras.update(end_to_end(Path(".bench_data")))
+            end_to_end(Path(".bench_data"), on_tpu)
         except Exception as e:
             SKIPPED["e2e"] = str(e)
             log(f"end-to-end bench failed: {e}")
@@ -554,24 +787,14 @@ def main() -> None:
         SKIPPED["e2e"] = "AQPC_BENCH_NO_E2E set"
 
     if os.environ.get("AQPC_BENCH_INFLIGHT"):
+        EMITTER.set_stage("inflight_comparison")
         try:
-            extras.update(inflight_comparison(Path(".bench_data")))
+            inflight_comparison(Path(".bench_data"))
         except Exception as e:
             SKIPPED["inflight"] = str(e)
 
-    if SKIPPED:
-        extras["skipped"] = SKIPPED
-    print(
-        json.dumps(
-            {
-                "metric": "bbox_scan_throughput",
-                "value": kernel_mpts,
-                "unit": "Mpts/s",
-                "vs_baseline": round(kernel_mpts * 1e6 / baseline_pps, 2),
-                "extras": extras,
-            }
-        )
-    )
+    EMITTER.set_stage("done")
+    EMITTER.emit()
 
 
 if __name__ == "__main__":
