@@ -1492,17 +1492,14 @@ def _run_density(
             def merge_candidates(task, local_idx):
                 if local_idx is None or len(local_idx) == 0:
                     return
-                xyz = np.stack(
-                    [
-                        xyz_col(task, 0)[local_idx],
-                        xyz_col(task, 1)[local_idx],
-                        xyz_col(task, 2)[local_idx],
-                    ],
-                    axis=1,
-                ).astype(np.float64)
-                world = xyz * np.asarray(scale) + np.asarray(offset)
-                winners = grid.make_winners(
-                    world, local_idx.astype(np.int64) + task.start, file_idx
+                # fused native exact key/d2 straight from the gathered raw
+                # int32 columns (no (n,3) f64 world materialization)
+                winners = grid.make_winners_raw(
+                    xyz_col(task, 0)[local_idx],
+                    xyz_col(task, 1)[local_idx],
+                    xyz_col(task, 2)[local_idx],
+                    scale, offset,
+                    local_idx.astype(np.int64) + task.start, file_idx,
                 )
                 if scope == "file":
                     file_acc.add(winners, file_seq)

@@ -39,6 +39,10 @@ def _build_if_needed() -> Path:
         "g++",
         "-O3",
         "-march=native",
+        # g++ contracts a*b+c into fma even in ISO mode; the density exact
+        # -resolution functions must round f64 ops exactly like numpy's (and
+        # the reference Rust's) separate mul/add or winner ties change
+        "-ffp-contract=off",
         "-shared",
         "-fPIC",
         "-std=c++17",
@@ -146,6 +150,24 @@ def load() -> ctypes.CDLL | None:
         lib.aqpc_pack_bits_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.aqpc_density_exact.restype = None
+        lib.aqpc_density_exact.argtypes = (
+            [ctypes.c_int64] + [ctypes.c_void_p] * 3     # n, xi, yi, zi
+            + [ctypes.c_void_p] * 5                      # scale..dimsf
+            + [ctypes.c_double, ctypes.c_void_p]         # cell_size, masks
+            + [ctypes.c_int32, ctypes.c_int32]           # xbits, xybits
+            + [ctypes.c_void_p] * 2                      # out key, d2
+        )
+        lib.aqpc_winner_dedupe.restype = ctypes.c_int64
+        lib.aqpc_winner_dedupe.argtypes = (
+            [ctypes.c_int64] + [ctypes.c_void_p] * 6
+        )
+        lib.aqpc_winner_merge.restype = ctypes.c_int64
+        lib.aqpc_winner_merge.argtypes = (
+            [ctypes.c_int64] + [ctypes.c_void_p] * 5
+            + [ctypes.c_int64] + [ctypes.c_void_p] * 5
+            + [ctypes.c_void_p] * 5
+        )
         _LIB = lib
         return _LIB
 
@@ -251,6 +273,70 @@ def dict_encode_u8(cls_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
         codes.ctypes.data_as(ctypes.c_void_p),
         present.ctypes.data_as(ctypes.c_void_p))
     return present[:n_present].copy(), codes
+
+
+def _vp(a: np.ndarray) -> ctypes.c_void_p:
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def density_exact(
+    xi: np.ndarray, yi: np.ndarray, zi: np.ndarray,
+    scale: np.ndarray, offset: np.ndarray, bmin: np.ndarray, ext: np.ndarray,
+    dims_f: np.ndarray, cell_size: float, masks: np.ndarray,
+    xbits: int, xybits: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused exact reference cell key + f64 d² from raw int32 coords
+    (one native pass; ops/density.GridSpec3D.exact_keys_d2 semantics).
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(xi)
+    key = np.empty(n, np.uint64)
+    d2 = np.empty(n, np.float64)
+    lib.aqpc_density_exact(
+        n, _vp(xi), _vp(yi), _vp(zi),
+        _vp(scale), _vp(offset), _vp(bmin), _vp(ext), _vp(dims_f),
+        float(cell_size), _vp(masks), int(xbits), int(xybits),
+        _vp(key), _vp(d2))
+    return key, d2
+
+
+def winner_dedupe(
+    order: np.ndarray, key: np.ndarray, d2: np.ndarray,
+    seq: np.ndarray, gidx: np.ndarray,
+) -> np.ndarray | None:
+    """Per-key winner ORIGINAL indices over rows visited in `order`
+    (ascending-key permutation). None when native is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty(len(order), np.int64)
+    m = lib.aqpc_winner_dedupe(
+        len(order), _vp(order), _vp(key), _vp(d2), _vp(seq), _vp(gidx),
+        _vp(out))
+    return out[:m]
+
+
+def winner_merge(
+    a: tuple[np.ndarray, ...], b: tuple[np.ndarray, ...],
+) -> tuple[np.ndarray, ...] | None:
+    """Linear merge of two unique-key-ascending winner SoA sets
+    (key, d2, seq, gidx, file_idx). None when native is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    na, nb = len(a[0]), len(b[0])
+    ko = np.empty(na + nb, np.uint64)
+    d2o = np.empty(na + nb, np.float64)
+    so = np.empty(na + nb, np.int32)
+    go = np.empty(na + nb, np.int64)
+    fo = np.empty(na + nb, np.int32)
+    m = lib.aqpc_winner_merge(
+        na, _vp(a[0]), _vp(a[1]), _vp(a[2]), _vp(a[3]), _vp(a[4]),
+        nb, _vp(b[0]), _vp(b[1]), _vp(b[2]), _vp(b[3]), _vp(b[4]),
+        _vp(ko), _vp(d2o), _vp(so), _vp(go), _vp(fo))
+    return ko[:m], d2o[:m], so[:m], go[:m], fo[:m]
 
 
 def pack_bits_u8(col_u8: np.ndarray, k: int, out_row: np.ndarray,

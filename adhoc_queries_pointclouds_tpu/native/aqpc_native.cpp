@@ -570,4 +570,135 @@ void aqpc_pack_bits_u8(const uint8_t* col, int64_t n, int k, uint8_t* out,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Density host-resolution hot path (ops/density.py). The engine's exact f64
+// winner resolution replicates the reference SparseGrid semantics
+// (query/src/grid_sampling.rs:49-105); at paper scale (13M winner cells) the
+// numpy version spends its time in ~20 vector passes per block plus 4-key
+// lexsorts per merge, all on one host core. These three functions collapse
+// that to: one fused pass for exact key+d2, one linear pass for per-key
+// winner selection over key-sorted rows, and one linear two-pointer merge.
+// Compiled with -ffp-contract=off: every f64 operation below must round
+// exactly like the separate numpy ops (and the reference's Rust, which does
+// not contract) — a fused multiply-add would change winners on ties.
+
+// Exact reference cell key + f64 squared distance to the unmasked cell
+// center, straight from raw int32 local coords (grid_sampling.rs:51-83):
+//   w    = (f64)raw * scale + offset
+//   r    = (w - bmin) * dims / ext          (NaN -> 0, <0 -> 0,
+//                                            >= 2^64 -> u64::MAX, else trunc)
+//   key  = (cx & mx) | ((cy & my) << xb) | ((cz & mz) << xyb)
+//   c    = ((f64)cell + 0.5) * cell_size + bmin   (center of UNMASKED cell)
+//   d2   = sum (w - c)^2                      (x, y, z order)
+void aqpc_density_exact(
+    int64_t n, const int32_t* xi, const int32_t* yi, const int32_t* zi,
+    const double* scale3, const double* offset3, const double* bmin3,
+    const double* ext3, const double* dimsf3, double cell_size,
+    const uint64_t* masks3, int32_t xbits, int32_t xybits,
+    uint64_t* out_key, double* out_d2) {
+  const double TWO64 = 18446744073709551616.0;  // 2^64
+  for (int64_t i = 0; i < n; i++) {
+    const int32_t raw[3] = {xi[i], yi[i], zi[i]};
+    uint64_t cell[3];
+    double w[3];
+    double d2 = 0.0;
+    for (int ax = 0; ax < 3; ax++) {
+      const double wv = (double)raw[ax] * scale3[ax] + offset3[ax];
+      w[ax] = wv;
+      double r = (wv - bmin3[ax]) * dimsf3[ax] / ext3[ax];
+      uint64_t c;
+      if (!(r >= 0.0)) {  // NaN or negative -> cell 0 (`as u64` saturation)
+        c = 0;
+      } else if (r >= TWO64) {
+        c = 0xFFFFFFFFFFFFFFFFull;
+      } else {
+        c = (uint64_t)r;
+      }
+      cell[ax] = c;
+      const double center = ((double)c + 0.5) * cell_size + bmin3[ax];
+      const double d = wv - center;
+      d2 += d * d;
+    }
+    (void)w;
+    out_key[i] = (cell[0] & masks3[0]) | ((cell[1] & masks3[1]) << xbits) |
+                 ((cell[2] & masks3[2]) << xybits);
+    out_d2[i] = d2;
+  }
+}
+
+// Winner comparison: strictly better = smaller (d2, seq, gidx) lexicographic
+// — the reference's "first inserted wins ties" rule (grid_sampling.rs:97)
+// with insertion order encoded as (file sequence, global point index). NaN
+// d2 ranks last (numpy lexsort puts NaNs at the end).
+static inline bool winner_better(double d2a, int32_t sa, int64_t ga,
+                                 double d2b, int32_t sb, int64_t gb) {
+  if (d2a != d2a) return false;            // a is NaN: never better
+  if (d2b != d2b) return true;             // b is NaN, a isn't
+  if (d2a != d2b) return d2a < d2b;
+  if (sa != sb) return sa < sb;
+  return ga < gb;
+}
+
+// Per-key winner selection over rows visited in ascending-key order via a
+// precomputed permutation (np.argsort(key, kind="stable")). Emits the
+// ORIGINAL index of each unique key's winner, in ascending key order.
+// Returns the number of unique keys.
+int64_t aqpc_winner_dedupe(
+    int64_t n, const int64_t* order, const uint64_t* key, const double* d2,
+    const int32_t* seq, const int64_t* gidx, int64_t* out_idx) {
+  int64_t m = 0;
+  uint64_t cur_key = 0;
+  int64_t cur = -1;
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t j = order[i];
+    const uint64_t k = key[j];
+    if (cur < 0 || k != cur_key) {
+      out_idx[m++] = j;
+      cur = j;
+      cur_key = k;
+    } else if (winner_better(d2[j], seq[j], gidx[j],
+                             d2[cur], seq[cur], gidx[cur])) {
+      out_idx[m - 1] = j;
+      cur = j;
+    }
+  }
+  return m;
+}
+
+// Linear merge of two winner sets, each unique-key ascending (the output of
+// aqpc_winner_dedupe / a previous merge). Output arrays must hold na + nb
+// rows; returns the merged unique-key count.
+int64_t aqpc_winner_merge(
+    int64_t na, const uint64_t* ka, const double* da, const int32_t* sa,
+    const int64_t* ga, const int32_t* fa,
+    int64_t nb, const uint64_t* kb, const double* db, const int32_t* sb,
+    const int64_t* gb, const int32_t* fb,
+    uint64_t* ko, double* d2o, int32_t* so, int64_t* go, int32_t* fo) {
+  int64_t i = 0, j = 0, m = 0;
+  while (i < na && j < nb) {
+    if (ka[i] < kb[j]) {
+      ko[m] = ka[i]; d2o[m] = da[i]; so[m] = sa[i]; go[m] = ga[i]; fo[m] = fa[i];
+      i++;
+    } else if (kb[j] < ka[i]) {
+      ko[m] = kb[j]; d2o[m] = db[j]; so[m] = sb[j]; go[m] = gb[j]; fo[m] = fb[j];
+      j++;
+    } else {
+      if (winner_better(db[j], sb[j], gb[j], da[i], sa[i], ga[i])) {
+        ko[m] = kb[j]; d2o[m] = db[j]; so[m] = sb[j]; go[m] = gb[j]; fo[m] = fb[j];
+      } else {
+        ko[m] = ka[i]; d2o[m] = da[i]; so[m] = sa[i]; go[m] = ga[i]; fo[m] = fa[i];
+      }
+      i++; j++;
+    }
+    m++;
+  }
+  for (; i < na; i++, m++) {
+    ko[m] = ka[i]; d2o[m] = da[i]; so[m] = sa[i]; go[m] = ga[i]; fo[m] = fa[i];
+  }
+  for (; j < nb; j++, m++) {
+    ko[m] = kb[j]; d2o[m] = db[j]; so[m] = sb[j]; go[m] = gb[j]; fo[m] = fb[j];
+  }
+  return m;
+}
+
 }  // extern "C"

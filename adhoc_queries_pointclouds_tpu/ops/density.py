@@ -132,7 +132,11 @@ class GridSpec3D:
         bmin = np.asarray(self.bounds.min, np.float64)
         center = (cells.astype(np.float64) + 0.5) * self.cell_size + bmin
         d = world - center
-        d2 = np.einsum("ij,ij->i", d, d)
+        # explicit x, y, z accumulation order: nalgebra's distance_squared
+        # (the reference, grid_sampling.rs:84-95) folds components in order,
+        # and einsum's pairwise/SIMD accumulation differs by 1 ulp on ~20%
+        # of points — enough to flip a winner on an exact d² tie
+        d2 = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
         mx, my, mz = (np.uint64(m) for m in self.masks)
         xb, yb = np.uint64(self.bits[0]), np.uint64(self.bits[0] + self.bits[1])
         key = (
@@ -148,6 +152,53 @@ class GridSpec3D:
         """Candidate points -> WINNER_DTYPE rows with exact key/d² (host)."""
         key, d2 = self.exact_keys_d2(world)
         out = np.empty(len(world), dtype=WINNER_DTYPE)
+        out["key"] = key
+        out["d2"] = d2
+        out["gidx"] = np.asarray(gidx, np.int64)
+        out["file_idx"] = file_idx
+        return out
+
+    def exact_keys_d2_raw(
+        self, xi: np.ndarray, yi: np.ndarray, zi: np.ndarray,
+        scale, offset,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Raw int32 local coords -> (masked u64 keys, exact f64 d²).
+
+        One fused native pass when available (aqpc_density_exact; at paper
+        scale the ~20 numpy vector passes of the world-convert +
+        exact_keys_d2 chain were a visible slice of density wall time on
+        this 1-core host); bit-identical numpy fallback otherwise — the
+        native build uses -ffp-contract=off so every f64 op rounds exactly
+        like numpy's separate ops and the reference's Rust."""
+        from .. import native
+
+        xi = np.ascontiguousarray(xi, np.int32)
+        yi = np.ascontiguousarray(yi, np.int32)
+        zi = np.ascontiguousarray(zi, np.int32)
+        scale = np.asarray(scale, np.float64)
+        offset = np.asarray(offset, np.float64)
+        bmin = np.asarray(self.bounds.min, np.float64)
+        ext = np.asarray(self.bounds.extent, np.float64)
+        res = native.density_exact(
+            xi, yi, zi, scale, offset, bmin, ext,
+            np.asarray(self.dims, np.float64), self.cell_size,
+            np.asarray(self.masks, np.uint64),
+            self.bits[0], self.bits[0] + self.bits[1],
+        )
+        if res is not None:
+            return res
+        world = (
+            np.stack([xi, yi, zi], axis=1).astype(np.float64) * scale + offset
+        )
+        return self.exact_keys_d2(world)
+
+    def make_winners_raw(
+        self, xi, yi, zi, scale, offset, gidx: np.ndarray, file_idx: int
+    ) -> np.ndarray:
+        """make_winners straight from raw int32 columns (fused native exact
+        pass; no (n,3) f64 world materialization)."""
+        key, d2 = self.exact_keys_d2_raw(xi, yi, zi, scale, offset)
+        out = np.empty(len(key), dtype=WINNER_DTYPE)
         out["key"] = key
         out["d2"] = d2
         out["gidx"] = np.asarray(gidx, np.int64)
@@ -424,8 +475,8 @@ class WinnerAccum:
     """
 
     def __init__(self, floor: int = 1 << 19):
-        self._state: np.ndarray | None = None
-        self._state_seq: np.ndarray | None = None  # per-row file seq
+        # SoA state (key, d2, seq, gidx, file_idx), unique keys ascending.
+        self._state: tuple[np.ndarray, ...] | None = None
         self._batches: list[np.ndarray] = []
         self._batch_seqs: list[int] = []
         self._pending = 0
@@ -437,37 +488,80 @@ class WinnerAccum:
         self._batches.append(rows)
         self._batch_seqs.append(file_seq)
         self._pending += len(rows)
-        state_n = 0 if self._state is None else len(self._state)
+        state_n = 0 if self._state is None else len(self._state[0])
         if self._pending >= max(state_n, self._floor):
             self._merge()
 
     def _merge(self) -> None:
+        from .. import native
+
         if not self._batches:
             return
-        parts = ([] if self._state is None else [self._state]) + self._batches
-        seqs = ([] if self._state is None else [self._state_seq]) + [
+        merged = (self._batches[0] if len(self._batches) == 1
+                  else np.concatenate(self._batches))
+        seq = np.concatenate([
             np.full(len(b), s, np.int32)
             for b, s in zip(self._batches, self._batch_seqs)
-        ]
-        merged = np.concatenate(parts)
-        seq = np.concatenate(seqs)
-        order = np.lexsort((merged["gidx"], seq, merged["d2"], merged["key"]))
-        merged = merged[order]
-        seq = seq[order]
-        first = np.empty(len(merged), bool)
-        first[0] = True
-        first[1:] = merged["key"][1:] != merged["key"][:-1]
-        self._state = merged[first]
-        self._state_seq = seq[first]
+        ])
         self._batches = []
         self._batch_seqs = []
         self._pending = 0
+
+        key = np.ascontiguousarray(merged["key"])
+        d2 = np.ascontiguousarray(merged["d2"])
+        gidx = np.ascontiguousarray(merged["gidx"])
+        # single stable key sort (numpy radix for u64) replaces the old
+        # 4-key lexsort; the tie rule moves into the linear native pass
+        order = np.argsort(key, kind="stable").astype(np.int64, copy=False)
+        widx = native.winner_dedupe(order, key, d2, seq, gidx)
+        if widx is None:
+            # pure-python fallback: the original lexsort semantics
+            order = np.lexsort((gidx, seq, d2, key))
+            key, d2, seq, gidx = key[order], d2[order], seq[order], gidx[order]
+            fidx = np.ascontiguousarray(merged["file_idx"])[order]
+            first = np.empty(len(key), bool)
+            first[0] = True
+            first[1:] = key[1:] != key[:-1]
+            batch = (key[first], d2[first], seq[first], gidx[first],
+                     fidx[first])
+            self._state = (batch if self._state is None
+                           else _merge_soa_py(self._state, batch))
+            return
+        batch = (key[widx], d2[widx], seq[widx], gidx[widx],
+                 np.ascontiguousarray(merged["file_idx"])[widx])
+        if self._state is None:
+            self._state = batch
+        else:
+            self._state = native.winner_merge(self._state, batch)
 
     def result(self) -> np.ndarray:
         self._merge()
         if self._state is None:
             return np.empty(0, WINNER_DTYPE)
-        return self._state
+        key, d2, _seq, gidx, fidx = self._state
+        out = np.empty(len(key), WINNER_DTYPE)
+        out["key"] = key
+        out["d2"] = d2
+        out["gidx"] = gidx
+        out["file_idx"] = fidx
+        return out
+
+
+def _merge_soa_py(a: tuple[np.ndarray, ...], b: tuple[np.ndarray, ...]):
+    """numpy fallback for native.winner_merge: same winner rule via lexsort
+    over the concatenation (both inputs are already per-key unique)."""
+    key = np.concatenate([a[0], b[0]])
+    d2 = np.concatenate([a[1], b[1]])
+    seq = np.concatenate([a[2], b[2]])
+    gidx = np.concatenate([a[3], b[3]])
+    fidx = np.concatenate([a[4], b[4]])
+    order = np.lexsort((gidx, seq, d2, key))
+    key, d2, seq, gidx, fidx = (
+        key[order], d2[order], seq[order], gidx[order], fidx[order])
+    first = np.empty(len(key), bool)
+    first[0] = True
+    first[1:] = key[1:] != key[:-1]
+    return key[first], d2[first], seq[first], gidx[first], fidx[first]
 
 
 def merge_winners_host(state: np.ndarray | None, new: np.ndarray) -> np.ndarray:

@@ -462,12 +462,10 @@ class ResidentDataset:
                 if c == 0:
                     continue
                 local = idx_np[j, :c].astype(np.int64)
-                xyz = np.stack([gx_np[j, :c], gy_np[j, :c], gz_np[j, :c]], 1).astype(
-                    np.float64
-                )
-                world = xyz * np.asarray(h.scale) + np.asarray(h.offset)
-                winners = grid.make_winners(
-                    world, local + int(self.block_start[blo + j]), i
+                winners = grid.make_winners_raw(
+                    gx_np[j, :c], gy_np[j, :c], gz_np[j, :c],
+                    h.scale, h.offset,
+                    local + int(self.block_start[blo + j]), i,
                 )
                 if per_file_scope:
                     accs.setdefault(i, density_ops.WinnerAccum()).add(

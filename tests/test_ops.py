@@ -373,6 +373,66 @@ class TestDensity:
         got = acc.result()
         assert len(got) == 1 and got["gidx"][0] == 900
 
+    def test_winner_accum_native_fallback_parity(self, monkeypatch):
+        """The pure-numpy WinnerAccum path (native unavailable) produces the
+        identical winner set as the native dedupe+merge path."""
+        from adhoc_queries_pointclouds_tpu import native
+        from adhoc_queries_pointclouds_tpu.ops.density import (
+            WINNER_DTYPE, WinnerAccum,
+        )
+
+        rng = np.random.default_rng(11)
+        batches = []
+        gidx = 0
+        for _ in range(23):
+            n = int(rng.integers(0, 500))
+            b = np.zeros(n, dtype=WINNER_DTYPE)
+            b["key"] = rng.integers(0, 120, n)
+            b["d2"] = rng.integers(0, 4, n) * 0.5  # exact ties
+            b["file_idx"] = rng.integers(0, 3, n)
+            b["gidx"] = np.arange(gidx, gidx + n)
+            gidx += n
+            batches.append(b)
+
+        acc_native = WinnerAccum(floor=128)
+        for s, b in enumerate(batches):
+            acc_native.add(b, s)
+        got_native = acc_native.result()
+
+        monkeypatch.setattr(native, "winner_dedupe", lambda *a, **k: None)
+        monkeypatch.setattr(native, "winner_merge", lambda *a, **k: None)
+        acc_py = WinnerAccum(floor=128)
+        for s, b in enumerate(batches):
+            acc_py.add(b, s)
+        got_py = acc_py.result()
+        assert np.array_equal(np.sort(got_native, order="key"),
+                              np.sort(got_py, order="key"))
+
+    def test_exact_keys_d2_raw_matches_numpy(self, monkeypatch):
+        """Fused native exact pass == world-convert + numpy exact_keys_d2,
+        bit for bit (keys AND f64 d2), incl. int32 extremes and points far
+        beyond the grid max face (masked-key wrap)."""
+        from adhoc_queries_pointclouds_tpu import native
+        from adhoc_queries_pointclouds_tpu.ops.density import GridSpec3D
+        from adhoc_queries_pointclouds_tpu.utils.aabb import AABB
+
+        rng = np.random.default_rng(13)
+        grid = GridSpec3D.create(
+            AABB((100.0, -50.0, 0.0), (2100.0, 1950.0, 123.7)), 3.3)
+        scale, offset = (0.001, 0.01, 0.0025), (90.0, -60.0, -5.0)
+        n = 50_000
+        xi = rng.integers(-2**31, 2**31, n).astype(np.int32)
+        yi = rng.integers(-2**25, 2**25, n).astype(np.int32)
+        zi = rng.integers(-2**25, 2**25, n).astype(np.int32)
+        ii = np.iinfo(np.int32)
+        xi[:4] = [ii.min, ii.max, 0, -1]
+
+        k_nat, d_nat = grid.exact_keys_d2_raw(xi, yi, zi, scale, offset)
+        monkeypatch.setattr(native, "density_exact", lambda *a, **k: None)
+        k_py, d_py = grid.exact_keys_d2_raw(xi, yi, zi, scale, offset)
+        assert np.array_equal(k_nat, k_py)
+        assert np.array_equal(d_nat.view(np.uint64), d_py.view(np.uint64))
+
     def test_candidate_cap_overflow_detected(self):
         """counts report the true candidate total even when idx truncates."""
         from adhoc_queries_pointclouds_tpu.ops.density import (
