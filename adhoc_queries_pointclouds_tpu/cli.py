@@ -291,7 +291,8 @@ def cmd_convert(args: argparse.Namespace) -> int:
     elif fmt == "lazer":
         las_to_lazer(src, dst, block_size=args.lazer_block_size)
     elif fmt == "laz":
-        las_to_laz(src, dst, chunk_size=args.lazer_block_size)
+        las_to_laz(src, dst, chunk_size=args.lazer_block_size,
+                   strict_interop=args.strict_laz)
     else:
         print(f"Unsupported conversion target .{fmt}", file=sys.stderr)
         return 1
@@ -369,6 +370,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("-i", "--input", required=True)
     cp.add_argument("-o", "--output", required=True)
     cp.add_argument("--lazer-block-size", type=int, default=50_000)
+    cp.add_argument(
+        "--strict-laz", action="store_true",
+        help="LAZ output: refuse anything outside the maximally-conservative "
+             "interop subset (formats 0-3, fixed chunks; "
+             "docs/LASZIP_INTEROP.md)",
+    )
     cp.set_defaults(fn=cmd_convert)
 
     np_ = sub.add_parser("count-points", help="Header-only total point count")

@@ -547,6 +547,7 @@ def write_laz(
     threads: int | None = None,
     variable_chunk_counts: list[int] | None = None,
     defer_chunk_table: bool = False,
+    strict_interop: bool = False,
 ) -> None:
     """Write a .laz file (formats 0-3 as v2, 6-8 as v3) from SoA columns.
 
@@ -555,11 +556,35 @@ def write_laz(
     per-chunk point counts. defer_chunk_table: write -1 as the chunk-table
     offset and append the real offset in the file's last 8 bytes (the
     streaming-writer layout this reader recovers from).
-    """
+
+    strict_interop: refuse (ValueError) any feature outside the
+    maximally-conservative subset believed byte-interoperable with upstream
+    LASzip — point formats 0-3 (v2 items POINT10/GPSTIME11/RGB12/BYTE
+    only), fixed-size chunks, chunk table at its canonical position. Every
+    constant group exercised by this subset is in docs/LASZIP_INTEROP.md's
+    "Certain" list; none of the UNCERTAIN groups can appear in the output.
+    Use for files destined for external consumers and for generating
+    external-validation fixtures (recipe in docs/LASZIP_INTEROP.md)."""
     if not native.available():
         raise RuntimeError("LAZ support requires the native codec")
     if header.point_format not in _STANDARD_RECORD_LENGTH:
         raise NotImplementedError("LAZ write supports point formats 0-10")
+    if strict_interop:
+        problems = []
+        if header.point_format > 3:
+            problems.append(
+                f"point format {header.point_format} (strict subset is 0-3: "
+                "v3 layered / waveform items carry uncertain constants)"
+            )
+        if variable_chunk_counts is not None:
+            problems.append("variable-size chunking")
+        if defer_chunk_table:
+            problems.append("deferred chunk table")
+        if problems:
+            raise ValueError(
+                "strict_interop refuses: " + "; ".join(problems)
+                + ". See docs/LASZIP_INTEROP.md."
+            )
     risky = _uncertain_items(
         header.point_format >= 6, has_waveform(header.point_format)
     )
@@ -765,6 +790,7 @@ def las_to_laz(
     laz_path: str | Path,
     *,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
+    strict_interop: bool = False,
 ) -> None:
     """Convert uncompressed .las (formats 0-3, 6-8) to .laz."""
     from .las import LasFile
@@ -790,5 +816,6 @@ def las_to_laz(
         cols["waveform"] = src.column("waveform")
     if h.point_record_length > _STANDARD_RECORD_LENGTH[h.point_format]:
         cols["extra"] = src.column("extra")
-    write_laz(laz_path, h, cols, chunk_size=chunk_size)
+    write_laz(laz_path, h, cols, chunk_size=chunk_size,
+              strict_interop=strict_interop)
     src.close()

@@ -166,3 +166,78 @@ def test_risky_write_warns(tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error", LazInteropWarning)
         write_laz(tmp_path / "v2.laz", h2, {"position": cols["position"]})
+
+
+@needs_native
+def test_strict_interop_refuses_uncertain_features(tmp_path):
+    """strict_interop draws the validated-subset boundary as hard errors."""
+    from adhoc_queries_pointclouds_tpu.formats.las import LasHeader
+
+    n = 8
+    rng = np.random.default_rng(3)
+    pos = rng.integers(-100, 100, (n, 3), dtype=np.int32)
+    h6 = LasHeader(point_format=6, point_count=n, point_record_length=30,
+                   version=(1, 4), header_size=375, offset_to_point_data=375)
+    with pytest.raises(ValueError, match="strict subset is 0-3"):
+        write_laz(tmp_path / "a.laz", h6, {"position": pos},
+                  strict_interop=True)
+    h1 = LasHeader(point_format=1, point_count=n, point_record_length=28)
+    cols = {"position": pos, "gps_time": rng.random(n)}
+    with pytest.raises(ValueError, match="variable-size chunking"):
+        write_laz(tmp_path / "b.laz", h1, cols, strict_interop=True,
+                  variable_chunk_counts=[n])
+    with pytest.raises(ValueError, match="deferred chunk table"):
+        write_laz(tmp_path / "c.laz", h1, cols, strict_interop=True,
+                  defer_chunk_table=True)
+    # the subset itself writes fine and round-trips
+    write_laz(tmp_path / "d.laz", h1, cols, strict_interop=True)
+    f = LazFile(tmp_path / "d.laz")
+    np.testing.assert_array_equal(f.column("position"), pos)
+
+
+OUTDIR = Path(__file__).parent / "fixtures" / "laz" / "outbound"
+
+
+@needs_native
+def test_outbound_strict_fixture_pinned():
+    """The committed strict-subset .laz is byte-identical to what the
+    current encoder produces, and decodes to its committed truth CSV —
+    so the exact bytes an external validator should check (see
+    docs/LASZIP_INTEROP.md "External validation recipe") can never drift
+    silently from the code."""
+    from adhoc_queries_pointclouds_tpu.formats import synth
+
+    p = OUTDIR / "aqpc_strict_pf1.laz"
+    truth = OUTDIR / "aqpc_strict_pf1.truth.csv"
+    assert p.exists() and truth.exists()
+
+    cloud = synth.make_cloud(257, seed=42, point_format=1)
+    import io
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        q = Path(td) / "regen.laz"
+        write_laz(q, cloud.header, cloud.columns(), chunk_size=100,
+                  strict_interop=True)
+        assert q.read_bytes() == p.read_bytes(), (
+            "strict fixture bytes drifted; regenerate the fixture AND have "
+            "it externally re-validated (docs/LASZIP_INTEROP.md)"
+        )
+
+    f = LazFile(p)
+    pos = f.column("position")
+    gps = f.column("gps_time")
+    inten = f.column("intensity")
+    cls = f.column("classification")
+    import csv
+
+    with open(truth) as fh:
+        rdr = csv.reader(fh)
+        next(rdr)
+        cells = [row for row in rdr]
+    rows = np.asarray([[int(v) for v in row[:5]] for row in cells], np.int64)
+    gps_bits = np.asarray([int(row[5]) for row in cells], np.uint64)
+    np.testing.assert_array_equal(pos, rows[:, :3].astype(np.int32))
+    np.testing.assert_array_equal(inten, rows[:, 3].astype(np.uint16))
+    np.testing.assert_array_equal(cls, rows[:, 4].astype(np.uint8))
+    np.testing.assert_array_equal(gps.view(np.uint64), gps_bits)
