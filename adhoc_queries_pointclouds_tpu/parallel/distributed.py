@@ -204,7 +204,11 @@ def distributed_query(
     hosts (scope='global' needs cross-host per-key resolution; scope='file'
     needs the cell counts all-reduced). The returned result's hits and
     output_files are empty for density — `distributed_density` performs the
-    write-back itself."""
+    write-back itself. Density results carry GLOBAL files_searched /
+    total_file_bytes (all-reduced to match the global match_count); on the
+    non-density path those two fields are HOST-LOCAL — run_query reports
+    what this host scanned, and the reference-comparable MiB/s per host is
+    exactly that — while match_count is the global psum."""
     from ..engine import run_query
 
     files, plan = _sharded_plan(input_path, plan, parity_quirk, output_dir)
@@ -214,11 +218,14 @@ def distributed_query(
 
         t0 = time.perf_counter()
         count = distributed_density(input_path, plan, block_size=block_size)
+        mesh = global_mesh()
         return QueryResult(
             match_count=count, hits=[], output_files=[],
-            total_file_bytes=sum(f.stat().st_size for f in files),
+            total_file_bytes=_allreduce_sum(
+                sum(f.stat().st_size for f in files), mesh),
             elapsed_seconds=time.perf_counter() - t0,
-            timer=StageTimer(), files_searched=len(files),
+            timer=StageTimer(),
+            files_searched=_allreduce_sum(len(files), mesh),
         )
     if plan.output_dir is not None and jax.process_count() > 1:
         plan = dataclasses.replace(plan, output_dir=_host_output_dir(plan))
@@ -274,12 +281,29 @@ def distributed_collect(
     return res.match_count, res
 
 
-def _allgather_i32_rows(rows: np.ndarray, mesh: Mesh) -> np.ndarray:
+def _allgather_slab_bytes() -> int:
+    """Gathered-buffer budget per slab (AQPC_ALLGATHER_SLAB_KB, default
+    64 MB: peak gather memory stays ~this regardless of winner-set size)."""
+    return int(os.environ.get("AQPC_ALLGATHER_SLAB_KB", str(64 << 10))) << 10
+
+
+def _allgather_i32_rows(
+    rows: np.ndarray, mesh: Mesh, slab_bytes: int | None = None
+) -> np.ndarray:
     """All-gather an (n, W) int32 matrix across processes -> (sum n, W).
 
-    Same padded-count scheme (and the same int32-not-int64 wire format, see
-    _allgather_keys) : each process contributes its row count in the header
-    slot, payload flattened after, padding sliced off by count."""
+    Each process contributes its row count in a header slot, payload
+    flattened after, padding sliced off by count. All rows ship as int32
+    words (the gloo CPU backend's s64 all_gather bit-interleaves payloads
+    as s32 pairs — observed on jax 0.9.0, tools/dist2.py caught it).
+
+    SLABBED: every process pads to the cross-host max row count, so a naive
+    single gather materializes devices x maxn x W int32 on every host — at
+    paper-scale global-density winner counts (~13M cells x 28 B wire rows)
+    that is multiple GB per host. Instead the row space [0, maxn) is walked
+    in fixed-size slabs whose *gathered* buffer stays <= slab_bytes, with
+    one compiled gather program reused across slabs; peak memory scales
+    with the slab budget, not devices x max-per-host."""
     if jax.process_count() == 1:
         return rows
     try:
@@ -289,26 +313,40 @@ def _allgather_i32_rows(rows: np.ndarray, mesh: Mesh) -> np.ndarray:
 
     W = rows.shape[1]
     d_local = len(jax.local_devices())
+    D = mesh.devices.size
     maxn = max(_allreduce_max(len(rows), mesh), 1)
-    local = np.zeros((d_local, 1 + maxn * W), np.int32)
-    local[0, 0] = len(rows)
-    local[0, 1 : 1 + len(rows) * W] = np.ascontiguousarray(rows, np.int32).ravel()
-    arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("d", None)), local,
-        (mesh.devices.size, local.shape[1]),
+    if slab_bytes is None:
+        slab_bytes = _allgather_slab_bytes()
+    slab_rows = max(1, slab_bytes // (D * W * 4))
+    slab_rows = min(slab_rows, maxn)
+    rows = np.ascontiguousarray(rows, np.int32)
+
+    gather_fn = jax.jit(
+        shard_map(
+            lambda x: jax.lax.all_gather(x, "d", tiled=True),
+            mesh=mesh, in_specs=P("d", None), out_specs=P(),
+            check_vma=False,
+        )
     )
-    gathered = np.ascontiguousarray(
-        jax.jit(
-            shard_map(
-                lambda x: jax.lax.all_gather(x, "d", tiled=True),
-                mesh=mesh, in_specs=P("d", None), out_specs=P(),
-                check_vma=False,
-            )
-        )(arr)
-    )
-    parts = [
-        row[1 : 1 + row[0] * W].reshape(-1, W) for row in gathered if row[0] > 0
-    ]
+    sharding = NamedSharding(mesh, P("d", None))
+    width = 1 + slab_rows * W
+    local = np.zeros((d_local, width), np.int32)
+    parts = []
+    for s0 in range(0, maxn, slab_rows):
+        cnt = int(np.clip(len(rows) - s0, 0, slab_rows))
+        local[0, 0] = cnt
+        if cnt:
+            local[0, 1 : 1 + cnt * W] = rows[s0 : s0 + cnt].ravel()
+            if cnt < slab_rows:
+                local[0, 1 + cnt * W :] = 0
+        arr = jax.make_array_from_process_local_data(
+            sharding, local, (D, width)
+        )
+        gathered = np.ascontiguousarray(gather_fn(arr))
+        parts += [
+            row[1 : 1 + row[0] * W].reshape(-1, W)
+            for row in gathered if row[0] > 0
+        ]
     if not parts:
         return np.empty((0, W), np.int32)
     return np.concatenate(parts, axis=0)
@@ -317,47 +355,15 @@ def _allgather_i32_rows(rows: np.ndarray, mesh: Mesh) -> np.ndarray:
 def _allgather_keys(keys: np.ndarray, mesh: Mesh) -> np.ndarray:
     """Union of winner cell keys across processes (u64, order irrelevant).
 
-    Pads to the cross-host max and all-gathers one (d_global, 1 + maxn)
-    int64 array — column 0 carries each row's valid-key count, so padding
-    is sliced by count rather than filtered by an in-band sentinel (a
-    legitimate all-ones masked key, possible when sum(bits) == 64 or for
-    wrapped beyond-max-face cells, would collide with any sentinel value).
-    Winner payloads never travel, only the 8-byte keys."""
+    Rides the slabbed int32-word gather (_allgather_i32_rows): a count
+    header per process rather than an in-band sentinel (a legitimate
+    all-ones masked key, possible when sum(bits) == 64 or for wrapped
+    beyond-max-face cells, would collide with any sentinel). Winner
+    payloads never travel, only the 8-byte keys."""
     if jax.process_count() == 1:
         return keys
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P2
-
-    d_local = len(jax.local_devices())
-    maxn = max(_allreduce_max(len(keys), mesh), 1)
-    local64 = np.zeros((d_local, 1 + maxn), np.int64)
-    local64[0, 0] = len(keys)
-    local64[0, 1 : 1 + len(keys)] = keys.view(np.int64)
-    # Ship as int32 words, not int64: the gloo CPU backend's s64 all_gather
-    # mangles payloads (elements come back bit-interleaved as s32 pairs —
-    # observed on jax 0.9.0, tools/dist2.py caught it). Element-wise bit
-    # layout is preserved under the s32 view, so gather that and view back.
-    local = local64.view(np.int32)
-    arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P2("d", None)),
-        local,
-        (mesh.devices.size, local.shape[1]),
-    )
-    gathered = np.ascontiguousarray(
-        jax.jit(
-            shard_map(
-                lambda x: jax.lax.all_gather(x, "d", tiled=True),
-                mesh=mesh, in_specs=P2("d", None), out_specs=P2(), check_vma=False,
-            )
-        )(arr)
-    ).view(np.int64)
-    parts = [row[1 : 1 + row[0]] for row in gathered if row[0] > 0]
-    if not parts:
-        return np.empty(0, np.uint64)
-    return np.concatenate(parts).view(np.uint64)
+    rows = np.ascontiguousarray(keys).view(np.int32).reshape(-1, 2)
+    return _allgather_i32_rows(rows, mesh).ravel().view(np.uint64)
 
 
 def _host_output_dir(plan: QueryPlan) -> Path | None:

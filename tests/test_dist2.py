@@ -62,6 +62,10 @@ def test_two_process_distributed_parity(tmp_path):
     report = tmp_path / "report.json"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # force multi-slab all-gathers (4 KB budget -> tens of rows per slab)
+    # so the chunked winner/key gather path crosses the real 2-process gloo
+    # boundary, not just the single-slab fast case
+    env["AQPC_ALLGATHER_SLAB_KB"] = "4"
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "dist2.py"),
          "--files", "3", "--points", "10000", "--json", str(report)],
