@@ -590,7 +590,8 @@ def _run_count(
     block_index = block_index or {}
 
     from .index import (
-        CONTAINED, DISJOINT, class_present, classify_block, classify_time_block,
+        CONTAINED, DISJOINT, class_present, class_present_ranges,
+        classify_block, classify_time_block,
     )
 
     tasks = []
@@ -629,13 +630,21 @@ def _run_count(
                     pruned_points += stop - start
                     continue
             elif idx_info is not None and plan.classification is not None:
-                if not class_present(
+                # sub-block pruning: the bitmap's 65k-block granularity is
+                # far finer than the 2M engine block, so emit only the
+                # present sub-ranges (index.class_present_ranges) instead
+                # of an all-or-nothing block skip
+                ranges = class_present_ranges(
                     idx_info[2], idx_info[0], start, stop,
                     plan.classification.classification,
-                ):
+                )
+                kept = sum(e - s for s, e in ranges)
+                if kept < stop - start:
                     skipped_blocks += 1
-                    pruned_points += stop - start
-                    continue
+                    pruned_points += (stop - start) - kept
+                for s, e in ranges:
+                    tasks.append((i, s // block_size, s, e))
+                continue
             tasks.append((i, b, start, stop))
     if skipped_blocks or contained_blocks:
         timer.counts["index_skipped_blocks"] += skipped_blocks
@@ -902,7 +911,8 @@ def _run_collect_mesh(
     from collections import deque
 
     from .index import (
-        CONTAINED, DISJOINT, class_present, classify_block, classify_time_block,
+        CONTAINED, DISJOINT, class_present, class_present_ranges,
+        classify_block, classify_time_block,
     )
 
     from .parallel.comm import LocalStepComm
@@ -963,13 +973,20 @@ def _run_collect_mesh(
                     timer.counts["index_pruned_points"] += stop - start
                     continue
             elif idx_info is not None and plan.classification is not None:
-                if not class_present(
+                # sub-block pruning (see _run_count): skipped sub-ranges
+                # are proven hit-free, so emission order is unaffected
+                ranges = class_present_ranges(
                     idx_info[2], idx_info[0], start, stop,
                     plan.classification.classification,
-                ):
+                )
+                kept = sum(e - s for s, e in ranges)
+                if kept < stop - start:
                     timer.counts["index_skipped_blocks"] += 1
-                    timer.counts["index_pruned_points"] += stop - start
-                    continue
+                    timer.counts["index_pruned_points"] += (stop - start) - kept
+                for s, e in ranges:
+                    emit_queue[i].append(("scan",))
+                    tasks.append((i, s // block_size, s, e))
+                continue
             emit_queue[i].append(("scan",))
             tasks.append((i, b, start, stop))
 
@@ -1317,7 +1334,10 @@ def _run_density(
     """
     from collections import deque
 
-    from .index import class_present, classify_block, classify_time_block, DISJOINT
+    from .index import (
+        DISJOINT, class_present, class_present_ranges, classify_block,
+        classify_time_block,
+    )
 
     is_bounds = plan.bounds is not None
     is_time = plan.time_range is not None
@@ -1410,13 +1430,20 @@ def _run_density(
                         timer.counts["index_pruned_points"] += stop - start
                         continue
                 elif idx_info is not None and plan.classification is not None:
-                    if not class_present(
+                    # sub-block pruning (see _run_count)
+                    ranges = class_present_ranges(
                         idx_info[2], idx_info[0], start, stop,
                         plan.classification.classification,
-                    ):
+                    )
+                    kept = sum(e - s for s, e in ranges)
+                    if kept < stop - start:
                         timer.counts["index_skipped_blocks"] += 1
-                        timer.counts["index_pruned_points"] += stop - start
-                        continue
+                        timer.counts["index_pruned_points"] += (
+                            (stop - start) - kept
+                        )
+                    for s, e in ranges:
+                        tasks.append((file_idx, s // block_size, s, e))
+                    continue
                 tasks.append((file_idx, b, start, stop))
 
             feeder = BlockFeeder(

@@ -200,6 +200,88 @@ class TestClassBitmap:
         assert index_mod.class_present(bitmap, 100, 100, 200, 19)
         assert index_mod.class_present(bitmap, 100, 0, 200, 19)  # covering both
 
+    def test_class_present_ranges_helper(self):
+        nb = 40
+        bitmap = np.zeros((nb, 32), np.uint8)
+        bit2 = np.uint8(0b0000_0100)
+        # class 2 present only in iblocks 3..5 and 25..27
+        bitmap[3:6, 0] = bit2
+        bitmap[25:28, 0] = bit2
+        r = index_mod.class_present_ranges(bitmap, 100, 0, nb * 100, 2)
+        assert r == [(300, 600), (2500, 2800)]
+        # absent -> empty; everywhere -> whole span
+        assert index_mod.class_present_ranges(bitmap, 100, 0, nb * 100, 19) == []
+        bitmap[:, 0] |= bit2
+        assert index_mod.class_present_ranges(bitmap, 100, 0, nb * 100, 2) == [
+            (0, nb * 100)
+        ]
+        # sub-threshold pruning collapses to the whole block
+        bitmap2 = np.zeros((nb, 32), np.uint8)
+        bitmap2[0:36, 0] = bit2  # only 10% prunable
+        assert index_mod.class_present_ranges(bitmap2, 100, 0, nb * 100, 2) == [
+            (0, nb * 100)
+        ]
+        # short gaps are scanned through, not split on
+        bitmap3 = np.zeros((nb, 32), np.uint8)
+        bitmap3[0:5, 0] = bit2
+        bitmap3[7:10, 0] = bit2  # 2-block gap < min_gap_blocks
+        assert index_mod.class_present_ranges(bitmap3, 100, 0, nb * 100, 2) == [
+            (0, 1000)
+        ]
+        # ranges clip to the engine block span
+        r = index_mod.class_present_ranges(bitmap, 100, 350, 450, 2)
+        assert r == [(350, 450)]
+
+    def test_sub_block_class_pruning_exact(self, tmp_path):
+        """A present class confined to a narrow band: the indexed scan reads
+        only the present sub-ranges of each engine block (pruned > 0) and
+        counts exactly, for count AND collect paths."""
+        from adhoc_queries_pointclouds_tpu.models.query import ClassQuery
+
+        files = synth.write_dataset(tmp_path, n_files=1, points_per_file=60_000,
+                                    seed=83, formats=("last",), classes=(1, 2))
+        f = files["last"][0]
+        # rewrite the classification column: class 6 only in a narrow band
+        r = open_point_cloud(f)
+        cls = np.array(r.column("classification"))
+        n = r.point_count
+        r.close()
+        cls[:] = 1
+        cls[20_000:22_000] = 6
+        from adhoc_queries_pointclouds_tpu.formats.last import LastFile
+
+        lf = LastFile(f)
+        h = lf.header
+        # LAST is transposed: the classification block sits at
+        # offset_to_point_data + record_offset(15 for pf2) * n_points
+        off = h.offset_to_point_data + 15 * n
+        lf.close()
+        with open(f, "r+b") as fh:
+            fh.seek(off)
+            fh.write(cls.tobytes())
+        rr = open_point_cloud(f)
+        index_mod.save_index(f, *index_mod.build_index(rr), n_points=n)
+        rr.close()
+
+        # engine block (BLOCK=8192) >> index block: use a tiny index block?
+        # build_index used INDEX_BLOCK=65536 > file, so force a finer one
+        rr = open_point_cloud(f)
+        blocks, bitmap, gps = index_mod.build_index(rr, index_block=2048)
+        index_mod.save_index(f, blocks, bitmap, gps, n_points=n,
+                             index_block=2048)
+        rr.close()
+
+        plan = QueryPlan(classification=ClassQuery(6))
+        res = run_query(tmp_path / "last", plan, block_size=16_384)
+        assert res.match_count == 2_000
+        assert res.timer.counts.get("index_pruned_points", 0) > 0
+
+        res2 = run_query(tmp_path / "last", plan, block_size=16_384,
+                         keep_hits=True)
+        assert res2.match_count == 2_000
+        allcls = np.concatenate([h.classification for h in res2.hits])
+        assert len(allcls) == 2_000 and (allcls == 6).all()
+
 
 class TestAutoIndex:
     def test_full_scan_builds_index_as_byproduct(self, tmp_path):
