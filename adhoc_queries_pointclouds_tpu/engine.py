@@ -232,6 +232,73 @@ def _gc_tick() -> None:
                 pass
 
 
+def _pack_range_tasks(file_idx: int, ranges, block_size: int) -> list:
+    """Disjoint ascending [s, e) ranges -> BlockFeeder multi-range tasks,
+    each packing up to block_size points (oversized ranges split). Groups
+    of 1 full contiguous block degrade to ordinary 4-tuple tasks."""
+    tasks: list = []
+    group: list[tuple[int, int]] = []
+    total = 0
+
+    def flush():
+        nonlocal group, total
+        if not group:
+            return
+        if len(group) == 1:
+            s, e = group[0]
+            tasks.append((file_idx, s // block_size, s, e))
+        else:
+            tasks.append((file_idx, group[0][0] // block_size, tuple(group)))
+        group, total = [], 0
+
+    for s, e in ranges:
+        while s < e:
+            take = min(e - s, block_size - total)
+            if group and group[-1][1] == s:  # adjacent after a split
+                group[-1] = (group[-1][0], s + take)
+            else:
+                group.append((s, s + take))
+            total += take
+            s += take
+            if total == block_size:
+                flush()
+    flush()
+    return tasks
+
+
+def _density_block_tasks(
+    file_idx, n, block_size, idx_info, is_bounds, is_time, file_bounds,
+    plan, timer,
+) -> list:
+    """Per-engine-block density tasks with sidecar bbox/GPS pruning. Only
+    DISJOINT can skip — a CONTAINED block still has to flow through the
+    grid dedupe (unlike counting, density needs the points themselves)."""
+    from .index import DISJOINT, classify_block, classify_time_block
+
+    tasks = []
+    for b in range((n + block_size - 1) // block_size):
+        start = b * block_size
+        stop = min(start + block_size, n)
+        if idx_info is not None and is_bounds:
+            lo, hi = file_bounds[file_idx]
+            cls_b = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
+            if cls_b == DISJOINT:
+                timer.counts["index_skipped_blocks"] += 1
+                timer.counts["index_pruned_points"] += stop - start
+                continue
+        elif idx_info is not None and is_time and idx_info[3] is not None:
+            cls_b = classify_time_block(
+                idx_info[3], idx_info[0], start, stop,
+                plan.time_range.start, plan.time_range.end,
+            )
+            if cls_b == DISJOINT:
+                timer.counts["index_skipped_blocks"] += 1
+                timer.counts["index_pruned_points"] += stop - start
+                continue
+        tasks.append((file_idx, b, start, stop))
+    return tasks
+
+
 def _pack_transport_enabled() -> bool:
     """Byte-planar packed coordinate H2D transport (AQPC_PACK, default on)."""
     return os.environ.get("AQPC_PACK", "1") != "0"
@@ -600,6 +667,22 @@ def _run_count(
     for i in active:
         n = readers[i].point_count
         idx_info = block_index.get(i)
+        if idx_info is not None and not is_bounds and not is_time:
+            # class sub-block pruning at FILE scope: present index-block
+            # ranges (bitmap granularity, 65k pts) packed into FULL
+            # multi-range device blocks — a short survivor range must not
+            # occupy an entire padded slot (see class_present_ranges /
+            # BlockFeeder multi-range tasks)
+            ranges = class_present_ranges(
+                idx_info[2], idx_info[0], 0, n,
+                plan.classification.classification,
+            )
+            kept = sum(e - s for s, e in ranges)
+            if kept < n:
+                skipped_blocks += max((n - kept) // idx_info[0], 1)
+                pruned_points += n - kept
+            tasks += _pack_range_tasks(i, ranges, block_size)
+            continue
         for b in range((n + block_size - 1) // block_size):
             start = b * block_size
             stop = min(start + block_size, n)
@@ -629,22 +712,6 @@ def _run_count(
                     contained_blocks += 1
                     pruned_points += stop - start
                     continue
-            elif idx_info is not None and plan.classification is not None:
-                # sub-block pruning: the bitmap's 65k-block granularity is
-                # far finer than the 2M engine block, so emit only the
-                # present sub-ranges (index.class_present_ranges) instead
-                # of an all-or-nothing block skip
-                ranges = class_present_ranges(
-                    idx_info[2], idx_info[0], start, stop,
-                    plan.classification.classification,
-                )
-                kept = sum(e - s for s, e in ranges)
-                if kept < stop - start:
-                    skipped_blocks += 1
-                    pruned_points += (stop - start) - kept
-                for s, e in ranges:
-                    tasks.append((i, s // block_size, s, e))
-                continue
             tasks.append((i, b, start, stop))
     if skipped_blocks or contained_blocks:
         timer.counts["index_skipped_blocks"] += skipped_blocks
@@ -654,6 +721,7 @@ def _run_count(
     index_collectors = index_collectors or {}
 
     pack = _pack_transport_enabled()
+    transform = None
     if is_time:
         # f64 GPS times run on device through the order-preserving
         # (hi, lo) int32 split encoding — exact f64 range semantics with
@@ -690,17 +758,22 @@ def _run_count(
     else:
         target_val = plan.classification.classification
 
+        # raw load + whole-block transform split: multi-range (index
+        # -packed) tasks concatenate several raw loads into one block
+        # before the packed-transport encoding runs
         def load(file_idx, start, stop):
-            cls = np.ascontiguousarray(
+            return {"cls": np.ascontiguousarray(
                 readers[file_idx].column("classification", start, stop)
-            )
-            if not pack:
-                return {"cls": cls}
-            return _packed_class_cols(cls, target_val, block_size)
+            )}
+
+        if pack:
+            transform = lambda file_idx, cols: _packed_class_cols(  # noqa: E731
+                cols["cls"], target_val, block_size)
 
     feeder = BlockFeeder(
         tasks, load, block_size,
         file_bounds=file_bounds, workers=workers, prefetch=prefetch, pad=False,
+        transform_fn=transform,
     )
 
     pending: list = []
@@ -943,6 +1016,24 @@ def _run_collect_mesh(
     for i in active:
         n = readers[i].point_count
         idx_info = block_index.get(i)
+        if idx_info is not None and not is_bounds and not is_time:
+            # class sub-block pruning at FILE scope, packed into full
+            # multi-range blocks (see _run_count): skipped ranges are
+            # proven hit-free so emission order is unaffected
+            ranges = class_present_ranges(
+                idx_info[2], idx_info[0], 0, n,
+                plan.classification.classification,
+            )
+            kept = sum(e - s for s, e in ranges)
+            if kept < n:
+                timer.counts["index_skipped_blocks"] += max(
+                    (n - kept) // idx_info[0], 1)
+                timer.counts["index_pruned_points"] += n - kept
+            new_tasks = _pack_range_tasks(i, ranges, block_size)
+            for _ in new_tasks:
+                emit_queue[i].append(("scan",))
+            tasks += new_tasks
+            continue
         for b in range((n + block_size - 1) // block_size):
             start = b * block_size
             stop = min(start + block_size, n)
@@ -972,25 +1063,11 @@ def _run_collect_mesh(
                     timer.counts["index_contained_blocks"] += 1
                     timer.counts["index_pruned_points"] += stop - start
                     continue
-            elif idx_info is not None and plan.classification is not None:
-                # sub-block pruning (see _run_count): skipped sub-ranges
-                # are proven hit-free, so emission order is unaffected
-                ranges = class_present_ranges(
-                    idx_info[2], idx_info[0], start, stop,
-                    plan.classification.classification,
-                )
-                kept = sum(e - s for s, e in ranges)
-                if kept < stop - start:
-                    timer.counts["index_skipped_blocks"] += 1
-                    timer.counts["index_pruned_points"] += (stop - start) - kept
-                for s, e in ranges:
-                    emit_queue[i].append(("scan",))
-                    tasks.append((i, s // block_size, s, e))
-                continue
             emit_queue[i].append(("scan",))
             tasks.append((i, b, start, stop))
 
     pack = _pack_transport_enabled()
+    transform = None
     if is_bounds:
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
@@ -1018,21 +1095,25 @@ def _run_collect_mesh(
     else:
         target_val = plan.classification.classification
 
+        # raw load + whole-block transform (multi-range tasks concatenate
+        # raw loads first — see _run_count). Unlike the count path,
+        # absent-target / single-class blocks still ship (>= 1-bit
+        # planes): host-resolving them here would have to thread through
+        # the ordered emit queue anyway, and the device already resolves
+        # them for free (miss code / all-match).
         def load(file_idx, start, stop):
-            cls = np.ascontiguousarray(
+            return {"cls": np.ascontiguousarray(
                 readers[file_idx].column("classification", start, stop)
-            )
-            if not pack:
-                return {"cls": cls}
-            # unlike the count path, absent-target / single-class blocks
-            # still ship (>= 1-bit planes): host-resolving them here would
-            # have to thread through the ordered emit queue anyway, and the
-            # device already resolves them for free (miss code / all-match)
-            return _packed_class_cols(cls, target_val, block_size)
+            )}
+
+        if pack:
+            transform = lambda file_idx, cols: _packed_class_cols(  # noqa: E731
+                cols["cls"], target_val, block_size)
 
     feeder = BlockFeeder(
         tasks, load, block_size,
         file_bounds=file_bounds, workers=workers, prefetch=prefetch, pad=False,
+        transform_fn=transform,
     )
 
     def packed_bounds(task):
@@ -1072,6 +1153,8 @@ def _run_collect_mesh(
             next_final += 1
 
     def emit_scan_result(task, local_idx, full=False):
+        from .parallel.pipeline import task_gidx
+
         i = task.file_idx
         finalize_through(i - 1)
         q = emit_queue[i]
@@ -1081,9 +1164,13 @@ def _run_collect_mesh(
         if q and q[0][0] == "scan":
             q.popleft()
         if full:
-            emitter.emit_range(i, task.start, task.start + task.n_valid)
+            if task.ranges is None:
+                emitter.emit_range(i, task.start, task.start + task.n_valid)
+            else:
+                for s, e in task.ranges:
+                    emitter.emit_range(i, s, e)
         elif local_idx is not None and len(local_idx):
-            emitter.emit_indices(i, local_idx.astype(np.int64) + task.start)
+            emitter.emit_indices(i, task_gidx(task, local_idx))
 
     def retry_block(task, count):
         from .parallel.pipeline import pad_to
@@ -1365,17 +1452,11 @@ def _run_density(
         collector = index_collectors.get(file_idx)
         if collector is not None:
             collector.update(start, pos)
-        if pack:
-            # bit-planar xyz transport (raw columns kept under xp/yp/zp,
-            # residualized at stack time) — density was the last raw
-            # 12 B/pt path and the tunnel link is the density bottleneck
-            cols = _packed_xyz_cols(pos, block_size)
-        else:
-            cols = {
-                "x": np.ascontiguousarray(pos[:, 0]),
-                "y": np.ascontiguousarray(pos[:, 1]),
-                "z": np.ascontiguousarray(pos[:, 2]),
-            }
+        cols = {
+            "x": np.ascontiguousarray(pos[:, 0]),
+            "y": np.ascontiguousarray(pos[:, 1]),
+            "z": np.ascontiguousarray(pos[:, 2]),
+        }
         if is_time:
             th, tl = predicate.encode_f64_sortable(
                 r.column("gps_time", start, stop)
@@ -1386,6 +1467,28 @@ def _run_density(
                 r.column("classification", start, stop)
             )
         return cols
+
+    transform = None
+    if pack:
+        # bit-planar xyz transport (raw columns kept under xp/yp/zp,
+        # residualized at stack time) — density was the last raw
+        # 12 B/pt path and the tunnel link is the density bottleneck.
+        # Runs as a whole-block transform so multi-range (index-packed)
+        # class tasks residualize the CONCATENATED block.
+        def transform(file_idx, cols):
+            out = {}
+            base = np.zeros(3, np.int64)
+            w = np.empty(3, np.int64)
+            for a, key in enumerate(("xp", "yp", "zp")):
+                col = cols.pop("xyz"[a])
+                k, mn = _residual_width(col, block_size)
+                out[key] = col
+                base[a] = mn
+                w[a] = k
+            out["base"] = base
+            out["w"] = w
+            out.update(cols)  # cls / th,tl ride raw
+            return out
 
     cap = min(int(os.environ.get("AQPC_COLLECT_CAP", "8192")), block_size)
     # deferred-merge accumulators (ops/density.py WinnerAccum): exact same
@@ -1406,50 +1509,29 @@ def _run_density(
 
             idx_info = block_index.get(file_idx)
             tasks = []
-            for b in range((n + block_size - 1) // block_size):
-                start = b * block_size
-                stop = min(start + block_size, n)
-                if idx_info is not None and is_bounds:
-                    lo, hi = file_bounds[file_idx]
-                    cls_b = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
-                    if cls_b == DISJOINT:
-                        timer.counts["index_skipped_blocks"] += 1
-                        timer.counts["index_pruned_points"] += stop - start
-                        continue
-                elif idx_info is not None and is_time and idx_info[3] is not None:
-                    # GPS-min/max pruning mirrors _run_count's time branch;
-                    # only DISJOINT can skip — a time-CONTAINED block still
-                    # has to flow through the grid dedupe (unlike counting,
-                    # density needs the points themselves).
-                    cls_b = classify_time_block(
-                        idx_info[3], idx_info[0], start, stop,
-                        plan.time_range.start, plan.time_range.end,
-                    )
-                    if cls_b == DISJOINT:
-                        timer.counts["index_skipped_blocks"] += 1
-                        timer.counts["index_pruned_points"] += stop - start
-                        continue
-                elif idx_info is not None and plan.classification is not None:
-                    # sub-block pruning (see _run_count)
-                    ranges = class_present_ranges(
-                        idx_info[2], idx_info[0], start, stop,
-                        plan.classification.classification,
-                    )
-                    kept = sum(e - s for s, e in ranges)
-                    if kept < stop - start:
-                        timer.counts["index_skipped_blocks"] += 1
-                        timer.counts["index_pruned_points"] += (
-                            (stop - start) - kept
-                        )
-                    for s, e in ranges:
-                        tasks.append((file_idx, s // block_size, s, e))
-                    continue
-                tasks.append((file_idx, b, start, stop))
+            if idx_info is not None and not is_bounds and not is_time:
+                # class sub-block pruning at FILE scope, packed into full
+                # multi-range blocks (see _run_count)
+                ranges = class_present_ranges(
+                    idx_info[2], idx_info[0], 0, n,
+                    plan.classification.classification,
+                )
+                kept = sum(e - s for s, e in ranges)
+                if kept < n:
+                    timer.counts["index_skipped_blocks"] += max(
+                        (n - kept) // idx_info[0], 1)
+                    timer.counts["index_pruned_points"] += n - kept
+                tasks = _pack_range_tasks(file_idx, ranges, block_size)
+            else:
+                tasks = _density_block_tasks(
+                    file_idx, n, block_size, idx_info, is_bounds, is_time,
+                    file_bounds, plan, timer,
+                )
 
             feeder = BlockFeeder(
                 tasks, load, block_size,
                 file_bounds=file_bounds, workers=workers, prefetch=prefetch,
-                pad=False,
+                pad=False, transform_fn=transform,
             )
 
             def xyz_col(task, axis):
@@ -1517,6 +1599,8 @@ def _run_density(
                 )
 
             def merge_candidates(task, local_idx):
+                from .parallel.pipeline import task_gidx
+
                 if local_idx is None or len(local_idx) == 0:
                     return
                 # fused native exact key/d2 straight from the gathered raw
@@ -1526,7 +1610,7 @@ def _run_density(
                     xyz_col(task, 1)[local_idx],
                     xyz_col(task, 2)[local_idx],
                     scale, offset,
-                    local_idx.astype(np.int64) + task.start, file_idx,
+                    task_gidx(task, local_idx), file_idx,
                 )
                 if scope == "file":
                     file_acc.add(winners, file_seq)

@@ -286,8 +286,8 @@ def class_present(
 
 def class_present_ranges(
     bitmap: np.ndarray, index_block: int, start: int, stop: int,
-    classification: int, *, min_gap_blocks: int = 4,
-    min_prune_frac: float = 0.25,
+    classification: int, *, min_gap_blocks: int = 1,
+    min_prune_frac: float = 0.1,
 ) -> list[tuple[int, int]]:
     """Sub-ranges of engine block [start, stop) that may contain the class.
 
@@ -303,11 +303,13 @@ def class_present_ranges(
     Exact by construction: a clear bitmap bit proves the class absent in
     that index block, so skipped ranges contribute zero matches.
 
-    Fragmentation guards (a short range still costs a full padded device
-    slot + its H2D bytes): gaps shorter than min_gap_blocks index blocks
-    are scanned through rather than split on, and if the total prune is
-    under min_prune_frac of the span the whole block is returned as one
-    range."""
+    Fragmentation is nearly free — the engine packs survivor ranges into
+    FULL device blocks (_pack_range_tasks), so every absent index block is
+    worth splitting on (min_gap_blocks=1). The residual guards: gaps
+    shorter than min_gap_blocks are scanned through (raise for codecs
+    whose random range reads amplify, e.g. chunked LAZ), and a prune under
+    min_prune_frac of the span isn't worth the per-range read overhead —
+    the whole block is returned as one range."""
     first = start // index_block
     last = (stop - 1) // index_block
     sub = bitmap[first : last + 1]

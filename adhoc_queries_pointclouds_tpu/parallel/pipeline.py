@@ -35,6 +35,24 @@ class BlockTask:
     columns: dict[str, np.ndarray]  # padded predicate columns
     lo: np.ndarray | None = None  # per-file int32 local query bounds
     hi: np.ndarray | None = None
+    # multi-range (index-packed) tasks: the block's rows are the
+    # concatenation of these disjoint ascending [s, e) file ranges (sum =
+    # n_valid). None for ordinary contiguous blocks. Map local row ->
+    # file ordinal with task_gidx().
+    ranges: tuple[tuple[int, int], ...] | None = None
+
+
+def task_gidx(task: BlockTask, local_idx: np.ndarray) -> np.ndarray:
+    """Local block row indices -> file point ordinals (int64), honoring
+    multi-range packing."""
+    local_idx = np.asarray(local_idx, np.int64)
+    if task.ranges is None:
+        return local_idx + task.start
+    lens = np.asarray([e - s for s, e in task.ranges], np.int64)
+    starts = np.asarray([s for s, _ in task.ranges], np.int64)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    k = np.searchsorted(cum, local_idx, side="right") - 1
+    return starts[k] + (local_idx - cum[k])
 
 
 def pad_to(arr: np.ndarray, n: int) -> np.ndarray:
@@ -48,13 +66,22 @@ def pad_to(arr: np.ndarray, n: int) -> np.ndarray:
 class BlockFeeder:
     """Decode-ahead iterator over BlockTasks.
 
-    tasks: sequence of (file_idx, block_idx, start, stop) tuples.
-    load_fn: (file_idx, start, stop) -> dict of unpadded predicate columns.
+    tasks: sequence of (file_idx, block_idx, start, stop) tuples, or
+    (file_idx, block_idx, ranges) where ranges is a tuple of disjoint
+    ascending (s, e) ranges totalling <= block_size — a multi-range task
+    packs several sidecar-index-survivor ranges into ONE full device block
+    (a short range would otherwise occupy an entire padded slot + its H2D
+    bytes, erasing the prune's win).
+    load_fn: (file_idx, start, stop) -> dict of unpadded predicate columns;
+    multi-range tasks call it per range and concatenate per key, so it must
+    return raw (concatenatable) columns. transform_fn, when given, is then
+    applied once per assembled block (file_idx, cols) -> cols — the place
+    for whole-block encodings like packed transport.
     """
 
     def __init__(
         self,
-        tasks: Sequence[tuple[int, int, int, int]],
+        tasks: Sequence[tuple],
         load_fn: Callable[[int, int, int], dict[str, np.ndarray]],
         block_size: int,
         *,
@@ -62,6 +89,7 @@ class BlockFeeder:
         workers: int = 4,
         prefetch: int = 8,
         pad: bool = True,
+        transform_fn: Callable[[int, dict], dict] | None = None,
     ):
         self._tasks = list(tasks)
         self._load = load_fn
@@ -73,16 +101,33 @@ class BlockFeeder:
         # -block step operands copy each column exactly once (into its step
         # -buffer row) instead of pad-copy + stack-copy
         self._pad = pad
+        self._transform = transform_fn
         # summed wall time inside load_fn across worker threads: the host
         # decode cost of the scan (>= wall clock when workers overlap; on a
         # single-core host it is effectively decode CPU time)
         self.decode_seconds = 0.0
         self._dt_lock = threading.Lock()
 
-    def _make(self, t: tuple[int, int, int, int]) -> BlockTask:
-        file_idx, block_idx, start, stop = t
+    def _make(self, t: tuple) -> BlockTask:
         t0 = time.perf_counter()
-        cols = self._load(file_idx, start, stop)
+        if len(t) == 3:
+            file_idx, block_idx, ranges = t
+            parts = [self._load(file_idx, s, e) for s, e in ranges]
+            cols = {
+                k: (parts[0][k] if len(parts) == 1
+                    else np.concatenate([p[k] for p in parts]))
+                for k in parts[0]
+            }
+            start = ranges[0][0]
+            n_valid = sum(e - s for s, e in ranges)
+            ranges = tuple(ranges)
+        else:
+            file_idx, block_idx, start, stop = t
+            cols = self._load(file_idx, start, stop)
+            n_valid = stop - start
+            ranges = None
+        if self._transform is not None:
+            cols = self._transform(file_idx, cols)
         if self._pad:
             cols = {k: pad_to(v, self._block_size) for k, v in cols.items()}
         with self._dt_lock:
@@ -92,10 +137,11 @@ class BlockFeeder:
             file_idx=file_idx,
             block_idx=block_idx,
             start=start,
-            n_valid=stop - start,
+            n_valid=n_valid,
             columns=cols,
             lo=lo,
             hi=hi,
+            ranges=ranges,
         )
 
     def __iter__(self) -> Iterator[BlockTask]:

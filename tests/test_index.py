@@ -217,17 +217,22 @@ class TestClassBitmap:
         ]
         # sub-threshold pruning collapses to the whole block
         bitmap2 = np.zeros((nb, 32), np.uint8)
-        bitmap2[0:36, 0] = bit2  # only 10% prunable
+        bitmap2[0:38, 0] = bit2  # only 5% prunable (< min_prune_frac)
         assert index_mod.class_present_ranges(bitmap2, 100, 0, nb * 100, 2) == [
             (0, nb * 100)
         ]
-        # short gaps are scanned through, not split on
+        # min_gap_blocks: short gaps scanned through rather than split on
         bitmap3 = np.zeros((nb, 32), np.uint8)
         bitmap3[0:5, 0] = bit2
-        bitmap3[7:10, 0] = bit2  # 2-block gap < min_gap_blocks
-        assert index_mod.class_present_ranges(bitmap3, 100, 0, nb * 100, 2) == [
-            (0, 1000)
-        ]
+        bitmap3[7:10, 0] = bit2  # 2-block gap
+        assert index_mod.class_present_ranges(
+            bitmap3, 100, 0, nb * 100, 2, min_gap_blocks=4
+        ) == [(0, 1000)]
+        # default (gap 1): every absent block splits - packing makes
+        # fragmentation free
+        assert index_mod.class_present_ranges(
+            bitmap3, 100, 0, nb * 100, 2
+        ) == [(0, 500), (700, 1000)]
         # ranges clip to the engine block span
         r = index_mod.class_present_ranges(bitmap, 100, 350, 450, 2)
         assert r == [(350, 450)]
