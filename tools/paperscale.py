@@ -177,8 +177,11 @@ def run(root: Path, n_files: int, out_json: Path | None,
     print(f"oracle totals: {truth}", flush=True)
     assert truth["xl"] == truth["points"], "XL box must cover all points"
 
+    import jax
+
     rss = RssTracker()
     report = {"oracle": truth, "n_files": n_files, "format": fmt,
+              "backend": jax.default_backend(),
               "crossed_2_31_hits": truth["points"] >= 2**31}
 
     def one(label, plan, expect, **kw):
@@ -235,7 +238,16 @@ def main() -> int:
                     help="container to generate/scan (VERDICT r3 item 6: "
                          "compressed-format scale run)")
     ap.add_argument("--json", type=Path, default=None)
+    ap.add_argument("--backend", choices=["auto", "cpu"], default="auto",
+                    help="cpu = pin jax to the host backend before any "
+                         "engine work (AQPC_FORCE_CPU is CLI-only; library "
+                         "calls otherwise hit the default — possibly "
+                         "wedged-tunnel — device)")
     args = ap.parse_args()
+    if args.backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.cmd in ("generate", "all"):
         generate(args.root, args.files, args.pts_per_file, args.format)
     if args.cmd == "oracle":
