@@ -83,7 +83,7 @@ def parity(rows: dict[str, tuple[float, float, float, str]]) -> str:
     already asserts this at run time; this re-checks it from the committed
     CSVs so the tables carry an auditable statement."""
     groups: dict[str, dict[str, str]] = {}
-    for name, (_, _, _, count) in rows.items():
+    for name, (_, _, _, count, _, _) in rows.items():
         base = name[: -len("_indexed")] if name.endswith("_indexed") else name
         kind = "_indexed" if name.endswith("_indexed") else ""
         parts = base.split("_")
