@@ -1563,14 +1563,13 @@ def _run_density(
                     jnp.asarray(plan.classification.classification, jnp.int32), nv,
                 )
 
-            def host_any_hit(task) -> bool:
-                """Exact host-side any-hit test, mirroring the device
-                predicate bit for bit (inclusive int bbox / lexicographic
-                encoded half-open time / u8 equality). A block with zero
-                predicate hits produces zero density candidates by
-                definition, so it skips BOTH the H2D transfer and the
-                device 5-key sort — the dominant costs for selective boxes
-                scanned without a sidecar index. (A lax.cond around the
+            def host_hit_mask(task):
+                """Exact host-side predicate mask (or None fast-out),
+                mirroring the device predicate bit for bit (inclusive int
+                bbox / lexicographic encoded half-open time / u8
+                equality). A block with zero predicate hits produces zero
+                density candidates by definition, so it skips BOTH the H2D
+                transfer and the device 5-key sort. (A lax.cond around the
                 sort was tried instead and executes pathologically slowly
                 on the axon backend; see ops/density.py.)"""
                 if kind == "bbox":
@@ -1578,25 +1577,23 @@ def _run_density(
                     x = xyz_col(task, 0)
                     m = (x >= lo[0]) & (x <= hi[0])
                     if not m.any():
-                        return False
+                        return None
                     y = xyz_col(task, 1)
                     m &= (y >= lo[1]) & (y <= hi[1])
                     if not m.any():
-                        return False
+                        return None
                     z = xyz_col(task, 2)
                     m &= (z >= lo[2]) & (z <= hi[2])
-                    return bool(m.any())
+                    return m if m.any() else None
                 if kind == "time":
                     th, tl = task.columns["th"], task.columns["tl"]
                     ge = (th > q_enc[0]) | ((th == q_enc[0]) & (tl >= q_enc[1]))
                     if not ge.any():
-                        return False
-                    lt = (th < q_enc[2]) | ((th == q_enc[2]) & (tl < q_enc[3]))
-                    return bool((ge & lt).any())
-                return bool(
-                    (task.columns["cls"]
-                     == plan.classification.classification).any()
-                )
+                        return None
+                    m = ge & ((th < q_enc[2]) | ((th == q_enc[2]) & (tl < q_enc[3])))
+                    return m if m.any() else None
+                m = task.columns["cls"] == plan.classification.classification
+                return m if m.any() else None
 
             def merge_candidates(task, local_idx):
                 from .parallel.pipeline import task_gidx
@@ -1709,15 +1706,83 @@ def _run_density(
                     process(*pending.popleft())
                 _gc_tick()
 
+            # Sparse gather-packing: a block whose predicate matches only a
+            # few points would still pay a full 2M-row 5-key device sort
+            # (the dominant density cost — a selective box crossing many
+            # Morton tiles sorts the whole file for a handful of hits).
+            # Instead, hits from such blocks are host-gathered (predicate
+            # pre-applied, so only xyz ships) and dispatched through the
+            # single-block kernel at the pow2 bucket of the ACTUAL hit
+            # count — one small sort covers the survivors of MANY source
+            # blocks instead of a padded full-width step each. cap=bucket
+            # makes candidate overflow impossible (candidates <= n_valid),
+            # so there is no retry path. Exact: cell assignment is
+            # per-point, leaders are per-sort-domain, and the candidate
+            # invariant (leader + f32-margin ties survive) holds for any
+            # grouping of predicate-passing points.
+            from .parallel.pipeline import pad_to, task_gidx as _tg
+
+            sparse_max = block_size // 8
+            sparse_xyz: list[tuple] = []
+            sparse_gidx: list[np.ndarray] = []
+            sparse_total = 0
             batch = []
-            for task in feeder:
-                if not host_any_hit(task):
-                    timer.counts["host_prefiltered_blocks"] += 1
-                    continue
-                batch.append(task)
+
+            def push(t):
+                nonlocal batch
+                batch.append(t)
                 if len(batch) == rows_per_step:
                     flush(batch)
                     batch = []
+
+            def flush_sparse():
+                nonlocal sparse_xyz, sparse_gidx, sparse_total
+                if not sparse_total:
+                    return
+                xs = np.concatenate([t[0] for t in sparse_xyz])
+                ys = np.concatenate([t[1] for t in sparse_xyz])
+                zs = np.concatenate([t[2] for t in sparse_xyz])
+                gmap = np.concatenate(sparse_gidx)
+                sparse_xyz, sparse_gidx, sparse_total = [], [], 0
+                bucket = compact.pow2_bucket(len(xs), block_size)
+                counts_d, idx_d = density_ops.block_density_candidates(
+                    jnp.asarray(pad_to(xs, bucket)),
+                    jnp.asarray(pad_to(ys, bucket)),
+                    jnp.asarray(pad_to(zs, bucket)),
+                    jnp.ones(bucket, bool), len(xs), tables_dev, cap=bucket,
+                )
+                c = int(counts_d)
+                lidx = np.asarray(idx_d[:c])
+                winners = grid.make_winners_raw(
+                    xs[lidx], ys[lidx], zs[lidx], scale, offset,
+                    gmap[lidx], file_idx,
+                )
+                if scope == "file":
+                    file_acc.add(winners, file_seq)
+                else:
+                    global_acc.add(winners, file_seq)
+
+            for task in feeder:
+                m = host_hit_mask(task)
+                if m is None:
+                    timer.counts["host_prefiltered_blocks"] += 1
+                    continue
+                nhits = int(np.count_nonzero(m))
+                if nhits > sparse_max:
+                    push(task)
+                    continue
+                idx = np.nonzero(m)[0]
+                sparse_xyz.append((
+                    xyz_col(task, 0)[idx],
+                    xyz_col(task, 1)[idx],
+                    xyz_col(task, 2)[idx],
+                ))
+                sparse_gidx.append(_tg(task, idx))
+                sparse_total += nhits
+                timer.counts["density_sparse_blocks"] += 1
+                if sparse_total >= block_size - sparse_max:
+                    flush_sparse()
+            flush_sparse()
             if batch:
                 flush(batch)
             drain(0)

@@ -40,12 +40,18 @@ class BlockTask:
     # n_valid). None for ordinary contiguous blocks. Map local row ->
     # file ordinal with task_gidx().
     ranges: tuple[tuple[int, int], ...] | None = None
+    # gather-packed (sparse) tasks: explicit per-row file ordinals — the
+    # block's rows were host-gathered from scattered hit positions (the
+    # density sparse path). Takes precedence over ranges/start.
+    gidx_map: np.ndarray | None = None
 
 
 def task_gidx(task: BlockTask, local_idx: np.ndarray) -> np.ndarray:
     """Local block row indices -> file point ordinals (int64), honoring
-    multi-range packing."""
+    gather-packing and multi-range packing."""
     local_idx = np.asarray(local_idx, np.int64)
+    if task.gidx_map is not None:
+        return task.gidx_map[local_idx]
     if task.ranges is None:
         return local_idx + task.start
     lens = np.asarray([e - s for s, e in task.ranges], np.int64)
