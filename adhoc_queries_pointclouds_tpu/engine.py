@@ -657,8 +657,7 @@ def _run_count(
     block_index = block_index or {}
 
     from .index import (
-        CONTAINED, DISJOINT, class_present, class_present_ranges,
-        classify_block, classify_time_block,
+        bbox_scan_ranges, class_present_ranges, time_scan_ranges,
     )
 
     tasks = []
@@ -683,35 +682,34 @@ def _run_count(
                 pruned_points += n - kept
             tasks += _pack_range_tasks(i, ranges, block_size)
             continue
+        if idx_info is not None and (
+            is_bounds or (is_time and idx_info[3] is not None)
+        ):
+            # bbox/GPS-time sub-block pruning at FILE scope, same 65k
+            # granularity as the class path: a straddling sub-block no
+            # longer forces its whole ~2M-point engine block through the
+            # scan, and fully-inside sub-blocks count with zero point IO
+            if is_bounds:
+                lo, hi = file_bounds[i]
+                scan_rs, cont_rs = bbox_scan_ranges(
+                    idx_info[1], idx_info[0], 0, n, lo, hi)
+            else:
+                scan_rs, cont_rs = time_scan_ranges(
+                    idx_info[3], idx_info[0], 0, n,
+                    plan.time_range.start, plan.time_range.end)
+            cont_pts = sum(e - s for s, e in cont_rs)
+            scan_pts = sum(e - s for s, e in scan_rs)
+            indexed_total += cont_pts
+            if cont_pts:
+                contained_blocks += max(cont_pts // idx_info[0], 1)
+            if n - scan_pts - cont_pts > 0:
+                skipped_blocks += max((n - scan_pts - cont_pts) // idx_info[0], 1)
+            pruned_points += n - scan_pts
+            tasks += _pack_range_tasks(i, scan_rs, block_size)
+            continue
         for b in range((n + block_size - 1) // block_size):
             start = b * block_size
             stop = min(start + block_size, n)
-            if idx_info is not None and is_bounds:
-                lo, hi = file_bounds[i]
-                cls = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
-                if cls == DISJOINT:
-                    skipped_blocks += 1
-                    pruned_points += stop - start
-                    continue
-                if cls == CONTAINED:
-                    indexed_total += stop - start
-                    contained_blocks += 1
-                    pruned_points += stop - start
-                    continue
-            elif idx_info is not None and is_time and idx_info[3] is not None:
-                cls = classify_time_block(
-                    idx_info[3], idx_info[0], start, stop,
-                    plan.time_range.start, plan.time_range.end,
-                )
-                if cls == DISJOINT:
-                    skipped_blocks += 1
-                    pruned_points += stop - start
-                    continue
-                if cls == CONTAINED:
-                    indexed_total += stop - start
-                    contained_blocks += 1
-                    pruned_points += stop - start
-                    continue
             tasks.append((i, b, start, stop))
     if skipped_blocks or contained_blocks:
         timer.counts["index_skipped_blocks"] += skipped_blocks
@@ -733,18 +731,28 @@ def _run_count(
             np.int32,
         )
 
+        # raw load + whole-block transform: multi-range (index-packed)
+        # tasks concatenate several raw loads into one block BEFORE the
+        # packed-transport encoding runs — per-range packing would
+        # concatenate the per-range base/w scalars into garbage
         def load(file_idx, start, stop):
             gps = readers[file_idx].column("gps_time", start, stop)
             th, tl = predicate.encode_f64_sortable(gps)
-            if not pack:
-                return {"th": th, "tl": tl}
-            return _packed_time_cols(th, tl, block_size)
+            return {"th": th, "tl": tl}
+
+        if pack:
+            transform = lambda file_idx, cols: _packed_time_cols(  # noqa: E731
+                cols["th"], cols["tl"], block_size)
     elif is_bounds:
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
             collector = index_collectors.get(file_idx)
             if collector is not None:
                 collector.update(start, pos)
+            return {"pos": pos}
+
+        def transform(file_idx, cols):
+            pos = cols["pos"]
             if not pack:
                 return {
                     "x": np.ascontiguousarray(pos[:, 0]),
@@ -984,8 +992,7 @@ def _run_collect_mesh(
     from collections import deque
 
     from .index import (
-        CONTAINED, DISJOINT, class_present, class_present_ranges,
-        classify_block, classify_time_block,
+        bbox_scan_ranges, class_present_ranges, time_scan_ranges,
     )
 
     from .parallel.comm import LocalStepComm
@@ -1034,46 +1041,71 @@ def _run_collect_mesh(
                 emit_queue[i].append(("scan",))
             tasks += new_tasks
             continue
+        if idx_info is not None and (
+            is_bounds or (is_time and idx_info[3] is not None)
+        ):
+            # bbox/GPS-time sub-block pruning at FILE scope (see
+            # _run_count). Emission stays in file order: scan ranges are
+            # packed SEGMENT-WISE between contained ranges, so every
+            # packed task's points lie strictly between the neighboring
+            # "all" entries in the emit queue.
+            if is_bounds:
+                lo, hi = file_bounds[i]
+                scan_rs, cont_rs = bbox_scan_ranges(
+                    idx_info[1], idx_info[0], 0, n, lo, hi)
+            else:
+                scan_rs, cont_rs = time_scan_ranges(
+                    idx_info[3], idx_info[0], 0, n,
+                    plan.time_range.start, plan.time_range.end)
+            cont_pts = sum(e - s for s, e in cont_rs)
+            scan_pts = sum(e - s for s, e in scan_rs)
+            if cont_pts:
+                timer.counts["index_contained_blocks"] += max(
+                    cont_pts // idx_info[0], 1)
+            if n - scan_pts - cont_pts > 0:
+                timer.counts["index_skipped_blocks"] += max(
+                    (n - scan_pts - cont_pts) // idx_info[0], 1)
+            timer.counts["index_pruned_points"] += n - scan_pts
+
+            def flush_segment(seg):
+                new_tasks = _pack_range_tasks(i, seg, block_size)
+                for _ in new_tasks:
+                    emit_queue[i].append(("scan",))
+                tasks.extend(new_tasks)
+
+            seg: list[tuple[int, int]] = []
+            ci = 0
+            for s, e in scan_rs:
+                while ci < len(cont_rs) and cont_rs[ci][1] <= s:
+                    flush_segment(seg)
+                    seg = []
+                    emit_queue[i].append(("all",) + cont_rs[ci])
+                    ci += 1
+                seg.append((s, e))
+            flush_segment(seg)
+            for cs, ce in cont_rs[ci:]:
+                emit_queue[i].append(("all", cs, ce))
+            continue
         for b in range((n + block_size - 1) // block_size):
             start = b * block_size
             stop = min(start + block_size, n)
-            if idx_info is not None and is_bounds:
-                lo, hi = file_bounds[i]
-                cls_b = classify_block(idx_info[1], idx_info[0], start, stop, lo, hi)
-                if cls_b == DISJOINT:
-                    timer.counts["index_skipped_blocks"] += 1
-                    timer.counts["index_pruned_points"] += stop - start
-                    continue
-                if cls_b == CONTAINED:
-                    emit_queue[i].append(("all", start, stop))
-                    timer.counts["index_contained_blocks"] += 1
-                    timer.counts["index_pruned_points"] += stop - start
-                    continue
-            elif idx_info is not None and is_time and idx_info[3] is not None:
-                cls_b = classify_time_block(
-                    idx_info[3], idx_info[0], start, stop,
-                    plan.time_range.start, plan.time_range.end,
-                )
-                if cls_b == DISJOINT:
-                    timer.counts["index_skipped_blocks"] += 1
-                    timer.counts["index_pruned_points"] += stop - start
-                    continue
-                if cls_b == CONTAINED:
-                    emit_queue[i].append(("all", start, stop))
-                    timer.counts["index_contained_blocks"] += 1
-                    timer.counts["index_pruned_points"] += stop - start
-                    continue
             emit_queue[i].append(("scan",))
             tasks.append((i, b, start, stop))
 
     pack = _pack_transport_enabled()
     transform = None
     if is_bounds:
+        # raw load + whole-block transform: multi-range tasks concatenate
+        # raw loads BEFORE packing (see _run_count)
         def load(file_idx, start, stop):
             pos = readers[file_idx].column("position", start, stop)
             collector = index_collectors.get(file_idx)
             if collector is not None:
                 collector.update(start, pos)
+            return {"pos": pos}
+
+        def transform(file_idx, cols):
+            pos = cols["pos"]
             if not pack:
                 return {
                     "x": np.ascontiguousarray(pos[:, 0]),
@@ -1089,9 +1121,11 @@ def _run_collect_mesh(
         def load(file_idx, start, stop):
             gps = readers[file_idx].column("gps_time", start, stop)
             th, tl = predicate.encode_f64_sortable(gps)
-            if not pack:
-                return {"th": th, "tl": tl}
-            return _packed_time_cols(th, tl, block_size)
+            return {"th": th, "tl": tl}
+
+        if pack:
+            transform = lambda file_idx, cols: _packed_time_cols(  # noqa: E731
+                cols["th"], cols["tl"], block_size)
     else:
         target_val = plan.classification.classification
 

@@ -284,6 +284,110 @@ def class_present(
     return bool(np.any(sub[:, byte] & bit))
 
 
+def _split_scan_ranges(
+    disjoint: np.ndarray, contained: np.ndarray, index_block: int,
+    first: int, start: int, stop: int,
+    min_gap_blocks: int, min_prune_frac: float,
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """Per-index-block classification -> (scan_ranges, contained_ranges)
+    over the point span [start, stop).
+
+    Every point lands in exactly one of scan / contained / skipped:
+    skipped sub-blocks are proven disjoint (zero matches), contained
+    sub-blocks proven all-matching (count or emit without scanning), scan
+    ranges get the normal device pass. Disjoint gaps shorter than
+    min_gap_blocks between two scan blocks are folded INTO the scan
+    (exact — the predicate discards them; folding preserves large
+    sequential reads). Contained blocks are never folded: they are
+    counted/emitted without IO, so scanning them too would double-count.
+    If the prune (disjoint + contained) is under min_prune_frac of the
+    span, the whole span is returned as one scan range — sub-block
+    bookkeeping isn't worth it when nearly everything must be read."""
+    n_span = stop - start
+    scan = ~disjoint & ~contained
+    pruned = int(disjoint.sum() + contained.sum()) * index_block
+    if pruned < n_span * min_prune_frac:
+        return [(start, stop)], []
+
+    def rng(a: int, b: int) -> tuple[int, int]:
+        # index-block run [a, b] inclusive -> clipped point range
+        return (max(start, (first + a) * index_block),
+                min(stop, (first + b + 1) * index_block))
+
+    scan_out: list[tuple[int, int]] = []
+    cont_out: list[tuple[int, int]] = []
+    run_start = None  # current scan run (index-block ordinal)
+    gap = 0  # disjoint blocks since the last scan block
+    for k in range(len(scan)):
+        if scan[k]:
+            if run_start is None:
+                run_start = k
+            elif gap >= min_gap_blocks:
+                scan_out.append(rng(run_start, prev_scan))
+                run_start = k
+            gap = 0
+            prev_scan = k
+        elif contained[k]:
+            if run_start is not None:
+                scan_out.append(rng(run_start, prev_scan))
+                run_start = None
+            gap = 0
+            if cont_out and cont_out[-1][1] == rng(k, k)[0]:
+                cont_out[-1] = (cont_out[-1][0], rng(k, k)[1])
+            else:
+                cont_out.append(rng(k, k))
+        else:  # disjoint
+            gap += 1
+    if run_start is not None:
+        scan_out.append(rng(run_start, prev_scan))
+    return scan_out, cont_out
+
+
+def bbox_scan_ranges(
+    iblocks: np.ndarray, index_block: int, start: int, stop: int,
+    lo: np.ndarray, hi: np.ndarray, *,
+    min_gap_blocks: int = 1, min_prune_frac: float = 0.1,
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """Sub-block bbox pruning: (scan_ranges, contained_ranges) of
+    [start, stop) against closed int bounds lo..hi at index-block (65k)
+    granularity. classify_block's all-or-nothing verdict over a ~2M-point
+    engine block prunes nothing when ONE of its ~32 sub-blocks straddles
+    the box; this returns exactly the straddling sub-ranges (the scan),
+    plus the fully-inside ones (countable/emittable with zero point IO)."""
+    first = start // index_block
+    last = (stop - 1) // index_block
+    sub = iblocks[first : last + 1]
+    if len(sub) == 0:
+        return [(start, stop)], []
+    bmin = sub[:, :3].astype(np.int64)
+    bmax = sub[:, 3:].astype(np.int64)
+    lo64 = np.asarray(lo, np.int64)
+    hi64 = np.asarray(hi, np.int64)
+    disjoint = np.any((bmax < lo64) | (bmin > hi64), axis=1)
+    contained = np.all((bmin >= lo64) & (bmax <= hi64), axis=1)
+    return _split_scan_ranges(disjoint, contained, index_block, first,
+                              start, stop, min_gap_blocks, min_prune_frac)
+
+
+def time_scan_ranges(
+    gps_mm: np.ndarray, index_block: int, start: int, stop: int,
+    t0: float, t1: float, *,
+    min_gap_blocks: int = 1, min_prune_frac: float = 0.1,
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """Sub-block GPS-time pruning against the half-open range [t0, t1):
+    same contract as bbox_scan_ranges, using per-index-block f64 time
+    min/max (sidecar v3)."""
+    first = start // index_block
+    last = (stop - 1) // index_block
+    sub = gps_mm[first : last + 1]
+    if len(sub) == 0:
+        return [(start, stop)], []
+    disjoint = (sub[:, 1] < t0) | (sub[:, 0] >= t1)
+    contained = (sub[:, 0] >= t0) & (sub[:, 1] < t1)
+    return _split_scan_ranges(disjoint, contained, index_block, first,
+                              start, stop, min_gap_blocks, min_prune_frac)
+
+
 def class_present_ranges(
     bitmap: np.ndarray, index_block: int, start: int, stop: int,
     classification: int, *, min_gap_blocks: int = 1,

@@ -288,6 +288,107 @@ class TestClassBitmap:
         assert len(allcls) == 2_000 and (allcls == 6).all()
 
 
+class TestSubBlockBboxPruning:
+    """bbox/time sub-block range pruning (round-5): a straddling 65k index
+    block no longer drags its whole ~2M engine block through the scan."""
+
+    def test_bbox_scan_ranges_helper(self):
+        nb = 40
+        mm = np.zeros((nb, 6), np.int32)
+        # block k spans x in [k*10, k*10+9]; y/z all [0, 9]
+        mm[:, 0] = np.arange(nb) * 10
+        mm[:, 3] = np.arange(nb) * 10 + 9
+        mm[:, 4] = 9
+        mm[:, 5] = 9
+        lo = np.array([105, 0, 0], np.int32)   # straddles block 10
+        hi = np.array([255, 9, 9], np.int32)   # straddles block 25
+        scan, cont = index_mod.bbox_scan_ranges(mm, 100, 0, nb * 100, lo, hi)
+        # blocks 11..24 fully inside; 10 and 25 straddle; rest disjoint
+        assert scan == [(1000, 1100), (2500, 2600)]
+        assert cont == [(1100, 2500)]
+        # box covering everything -> all contained, nothing scanned
+        scan2, cont2 = index_mod.bbox_scan_ranges(
+            mm, 100, 0, nb * 100,
+            np.array([0, 0, 0], np.int32), np.array([999, 9, 9], np.int32))
+        assert scan2 == [] and cont2 == [(0, nb * 100)]
+        # box matching nothing -> nothing at all
+        scan3, cont3 = index_mod.bbox_scan_ranges(
+            mm, 100, 0, nb * 100,
+            np.array([5000, 0, 0], np.int32), np.array([6000, 9, 9], np.int32))
+        assert scan3 == [] and cont3 == []
+        # sub-threshold prune collapses to one whole-span scan (y disjoint
+        # in no block, x straddles all but the last block)
+        scan4, cont4 = index_mod.bbox_scan_ranges(
+            mm, 100, 0, nb * 100,
+            np.array([5, 5, 5], np.int32), np.array([388, 9, 9], np.int32))
+        assert scan4 == [(0, nb * 100)] and cont4 == []
+        # ranges clip to the span
+        scan5, cont5 = index_mod.bbox_scan_ranges(mm, 100, 1050, 2550, lo, hi)
+        assert scan5 == [(1050, 1100), (2500, 2550)]
+        assert cont5 == [(1100, 2500)]
+
+    def test_time_scan_ranges_helper(self):
+        nb = 10
+        gps = np.zeros((nb, 2), np.float64)
+        gps[:, 0] = np.arange(nb) * 100.0
+        gps[:, 1] = np.arange(nb) * 100.0 + 99.0
+        # [150, 750): straddles blocks 1 and 7, contains 2..6
+        scan, cont = index_mod.time_scan_ranges(gps, 100, 0, nb * 100,
+                                                150.0, 750.0)
+        assert scan == [(100, 200), (700, 800)]
+        assert cont == [(200, 700)]
+        # half-open upper edge: t1 == block 7's min -> block 7 disjoint
+        scan2, cont2 = index_mod.time_scan_ranges(gps, 100, 0, nb * 100,
+                                                  150.0, 700.0)
+        assert scan2 == [(100, 200)]
+        assert cont2 == [(200, 700)]
+
+    @pytest.fixture()
+    def xsorted(self, tmp_path):
+        """One x-sorted file with a fine index: engine block >> index block
+        so a selective slab exercises sub-block ranges inside one block."""
+        cloud = synth.make_cloud(60_000, seed=85)
+        order = np.argsort(cloud.position_raw[:, 0], kind="stable")
+        cloud.position_raw = cloud.position_raw[order]
+        cloud.intensity = cloud.intensity[order]
+        cloud.classification = cloud.classification[order]
+        cloud.color = cloud.color[order]
+        synth.write_cloud_las(cloud, tmp_path / "sorted.las")
+        r = open_point_cloud(tmp_path / "sorted.las")
+        index_mod.save_index(
+            tmp_path / "sorted.las", *index_mod.build_index(r, index_block=2048),
+            index_block=2048, n_points=60_000,
+        )
+        pos_w = r.positions_world()
+        r.close()
+        return tmp_path, pos_w
+
+    def test_bbox_sub_block_pruning_exact_count_and_collect(self, xsorted):
+        root, pos_w = xsorted
+        # slab in the middle of the sorted x range: many disjoint blocks on
+        # both sides, a contained stretch in the middle, straddlers at the
+        # edges — all inside ONE 60k engine block
+        x0, x1 = np.quantile(pos_w[:, 0], [0.40, 0.60])
+        box = AABB((float(x0), 0.0, 0.0), (float(x1), 1e7, 1e7))
+        oracle = int(np.sum(box.contains_points(pos_w)))
+        plan = QueryPlan(bounds=BoundsQuery(box))
+        res = run_query(root, plan, block_size=65_536)
+        assert res.match_count == oracle > 0
+        assert res.timer.counts.get("index_pruned_points", 0) > 0
+        assert res.timer.counts.get("index_contained_blocks", 0) > 0
+        off = run_query(root, plan, block_size=65_536, use_index=False)
+        assert off.match_count == oracle
+
+        # collect: same count, hits exactly the oracle's points, in order
+        res2 = run_query(root, plan, block_size=65_536, keep_hits=True)
+        assert res2.match_count == oracle
+        got = np.concatenate([h.position_world for h in res2.hits if h.count])
+        want = pos_w[box.contains_points(pos_w)]
+        np.testing.assert_allclose(np.sort(got, axis=0), np.sort(want, axis=0))
+        # file-order emission: x-sorted file -> hits ascend in x
+        assert np.all(np.diff(got[:, 0]) >= 0)
+
+
 class TestAutoIndex:
     def test_full_scan_builds_index_as_byproduct(self, tmp_path):
         """improvements.md semantics: scan once (no index), sidecar appears;
